@@ -1,0 +1,202 @@
+"""flax.linen building blocks over the static-shape sparse voxel engine.
+
+These replace the MinkowskiEngine layer zoo used throughout the reference
+models (`ME.MinkowskiConvolution`, `ME.MinkowskiConvolutionTranspose`,
+`ME.MinkowskiBatchNorm` / `InstanceNorm` / LayerNorm wrapper, `MinkowskiReLU`,
+`MinkowskiSumPooling`; see `MinkowskiNet/models/modules/common.py`,
+`models/modules/resnet_block.py`).
+
+Features flow as `[B, L, C]` per stride level with a boolean `[B, L]` mask;
+convolutions consume kernel maps by name from a `JaxVoxelBatch` (see
+core/pyramid.py). Norm statistics are computed over *valid* voxels only, which
+matches ME: its BatchNorm sees exactly the occupied voxels, never padding.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from csn_tpu.core.conv import sparse_conv
+
+
+class NormType(enum.Enum):
+    """Mirror of `models/modules/common.py:7-11`."""
+
+    BATCH_NORM = 0
+    INSTANCE_NORM = 1
+    INSTANCE_BATCH_NORM = 2
+    LAYER_NORM = 3
+
+
+def _conv_kernel_init(key, shape, dtype=jnp.float32):
+    """ME-style init: uniform(-s, s) with s = 1/sqrt(fan_in * kernel_volume)."""
+    k, cin, cout = shape
+    s = 1.0 / jnp.sqrt(jnp.asarray(cin * k, dtype=jnp.float32))
+    return jax.random.uniform(key, shape, dtype, minval=-s, maxval=s)
+
+
+class SparseConv(nn.Module):
+    """Sparse (possibly strided / transposed) convolution.
+
+    `map_name` selects a precomputed kernel map: 'sameNkK' keeps the level,
+    'downNkK' moves level N -> N+1 (stride 2), 'upNkK' moves N+1 -> N
+    (transpose stride 2). The caller is responsible for passing features of
+    the map's source level and using the destination level's mask afterwards.
+    """
+
+    features: int
+    map_name: str
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, batch, x: jnp.ndarray, out_shape: Tuple[int, int]) -> jnp.ndarray:
+        kmap = batch.kmaps[self.map_name]
+        b, l_in, cin = x.shape
+        k = kmap.shape[0]
+        w = self.param("kernel", _conv_kernel_init, (k, cin, self.features))
+        out = sparse_conv(x.reshape(b * l_in, cin), kmap, w)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            out = out + bias[None, :]
+        b_out, l_out = out_shape
+        return out.reshape(b_out, l_out, self.features)
+
+
+class Conv1x1(nn.Module):
+    """Pointwise (kernel-size-1) convolution == per-voxel Linear (ME kernel 1
+    convs, e.g. the FC heads `models/hrnet.py:246-262,331-339`)."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Dense(self.features, use_bias=self.use_bias,
+                        kernel_init=nn.initializers.variance_scaling(
+                            1.0 / 3.0, "fan_in", "uniform"))(x)
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over valid voxels of the whole batch (ME.MinkowskiBatchNorm).
+
+    Uses torch momentum semantics: running <- (1-m)*running + m*batch, with the
+    reference default m=0.02 (`lib/config.py:63`).
+    """
+
+    momentum: float = 0.02
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), self.dtype))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), self.dtype))
+
+        if train:
+            m = mask.astype(jnp.float32)
+            n = jnp.maximum(m.sum(), 1.0)
+            xm = x * m[..., None]
+            mean = xm.sum(axis=(0, 1)) / n
+            var = (jnp.square(x - mean) * m[..., None]).sum(axis=(0, 1)) / n
+            if not self.is_initializing():
+                mom = self.momentum
+                ra_mean.value = (1.0 - mom) * ra_mean.value + mom * mean
+                # torch tracks unbiased running var
+                unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+                ra_var.value = (1.0 - mom) * ra_var.value + mom * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return jnp.where(mask[..., None], y, 0.0)
+
+
+class MaskedInstanceNorm(nn.Module):
+    """Per-shape, per-channel normalization over valid voxels
+    (ME.MinkowskiInstanceNorm)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        m = mask.astype(jnp.float32)[..., None]
+        n = jnp.maximum(m.sum(axis=1, keepdims=True), 1.0)
+        mean = (x * m).sum(axis=1, keepdims=True) / n
+        var = (jnp.square(x - mean) * m).sum(axis=1, keepdims=True) / n
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return jnp.where(mask[..., None], y, 0.0)
+
+
+class SparseLayerNorm(nn.Module):
+    """Per-voxel LayerNorm (`models/modules/common.py:29-58`)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        y = nn.LayerNorm(epsilon=self.eps)(x)
+        return jnp.where(mask[..., None], y, 0.0)
+
+
+class Norm(nn.Module):
+    """Dispatch on NormType (mirror of `get_norm`,
+    `models/modules/common.py:14-26`)."""
+
+    norm_type: NormType
+    momentum: float = 0.02
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        if self.norm_type == NormType.BATCH_NORM:
+            return MaskedBatchNorm(momentum=self.momentum)(x, mask, train)
+        if self.norm_type == NormType.INSTANCE_NORM:
+            return MaskedInstanceNorm()(x, mask, train)
+        if self.norm_type == NormType.INSTANCE_BATCH_NORM:
+            x = MaskedInstanceNorm()(x, mask, train)
+            return MaskedBatchNorm(momentum=self.momentum)(x, mask, train)
+        if self.norm_type == NormType.LAYER_NORM:
+            return SparseLayerNorm()(x, mask, train)
+        raise ValueError(self.norm_type)
+
+
+def sum_pool(batch, x: jnp.ndarray, map_name: str,
+             out_shape: Tuple[int, int]) -> jnp.ndarray:
+    """Sum pooling via a down kernel map (ME.MinkowskiSumPooling,
+    `models/resnet.py:42-46`)."""
+    kmap = batch.kmaps[map_name]
+    b, l_in, c = x.shape
+    flat = x.reshape(b * l_in, c)
+    g = flat.at[kmap].get(mode="fill", fill_value=0)  # [K, N_out, C]
+    out = g.sum(axis=0)
+    b_out, l_out = out_shape
+    return out.reshape(b_out, l_out, c)
+
+
+def global_avg_pool(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """[B, L, C] -> [B, C] masked mean."""
+    m = mask.astype(x.dtype)[..., None]
+    n = jnp.maximum(m.sum(axis=1), 1.0)
+    return (x * m).sum(axis=1) / n
+
+
+def global_max_pool(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """[B, L, C] -> [B, C] masked max."""
+    neg = jnp.finfo(x.dtype).min
+    return jnp.where(mask[..., None], x, neg).max(axis=1)
+
+
+def relu_masked(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(mask[..., None], jax.nn.relu(x), 0.0)

@@ -1,0 +1,196 @@
+"""Unit tests for the static-shape voxel pyramid / kernel-map builder,
+validated against brute-force dense references (SURVEY.md §4: the reference has
+no tests; kernel-level dense-reference tests are our own pyramid base)."""
+
+import numpy as np
+import pytest
+
+from csn_tpu.core.pyramid import (
+    MapSpec, PyramidSpec, QMode, build_voxel_batch, default_level_caps,
+)
+
+
+def make_shape(rng, n=500, scale=10.0):
+    coords = rng.uniform(-1, 1, size=(n, 3)) * scale
+    feats = coords.copy().astype(np.float32)
+    labels = rng.integers(0, 5, size=n).astype(np.int32)
+    return coords.astype(np.float32), feats, labels
+
+
+def build(spec_maps, n=500, B=2, voxel=1.0, qmode=QMode.RANDOM_SUBSAMPLE,
+          caps=None, seed=0):
+    rng = np.random.default_rng(seed)
+    shapes = [make_shape(rng, n) for _ in range(B)]
+    nl = 1 + max(
+        [m.level + (1 if m.kind != "same" else 0) for m in spec_maps] + [0]
+    )
+    spec = PyramidSpec(
+        voxel_size=voxel,
+        num_points=n,
+        level_caps=caps or default_level_caps(n, nl, shrink=1.0),
+        maps=tuple(spec_maps),
+        qmode=qmode,
+    )
+    return shapes, spec, build_voxel_batch(shapes, spec, rng=rng)
+
+
+def test_quantization_unique_and_counts():
+    shapes, spec, vb = build([], n=400)
+    for b, (c, f, l) in enumerate(shapes):
+        ic = np.floor(c / spec.voxel_size).astype(np.int64)
+        expected = np.unique(ic, axis=0)
+        n = int(vb.num_voxels[0][b])
+        assert n == expected.shape[0]
+        got = np.sort(vb.coords[0][b, :n], axis=0)
+        np.testing.assert_array_equal(
+            np.sort(vb.coords[0][b, :n].astype(np.int64), axis=0).shape,
+            expected.shape,
+        )
+        # set equality of voxel coordinates
+        got_set = {tuple(r) for r in vb.coords[0][b, :n]}
+        exp_set = {tuple(r) for r in expected}
+        assert got_set == exp_set
+
+
+def test_average_quantization_features():
+    shapes, spec, vb = build([], n=300, qmode=QMode.UNWEIGHTED_AVERAGE)
+    b = 0
+    c, f, _ = shapes[b]
+    ic = np.floor(c / spec.voxel_size).astype(np.int64)
+    n = int(vb.num_voxels[0][b])
+    for i in range(0, n, 17):
+        vox = vb.coords[0][b, i]
+        sel = np.all(ic == vox[None, :], axis=1)
+        np.testing.assert_allclose(
+            vb.vox_feats[b, i], f[sel].mean(axis=0), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_random_subsample_picks_member_point():
+    shapes, spec, vb = build([], n=300, qmode=QMode.RANDOM_SUBSAMPLE)
+    b = 0
+    c, f, _ = shapes[b]
+    ic = np.floor(c / spec.voxel_size).astype(np.int64)
+    n = int(vb.num_voxels[0][b])
+    for i in range(0, n, 13):
+        vox = vb.coords[0][b, i]
+        sel = np.all(ic == vox[None, :], axis=1)
+        member_feats = f[sel]
+        assert any(
+            np.allclose(vb.vox_feats[b, i], mf) for mf in member_feats
+        )
+
+
+def test_same_level_kernel_map_brute_force():
+    maps = [MapSpec("same", 0, 3)]
+    shapes, spec, vb = build(maps, n=300, B=2)
+    km = vb.kmaps["same0k3"]
+    B, L = vb.masks[0].shape
+    offs = maps[0].offsets()
+    for b in range(B):
+        n = int(vb.num_voxels[0][b])
+        coord_to_idx = {
+            tuple(vb.coords[0][b, i]): i for i in range(n)
+        }
+        for i in range(0, n, 29):
+            for k in range(len(offs)):
+                got = km[k, b * L + i]
+                nbr = tuple(vb.coords[0][b, i] + offs[k])
+                if nbr in coord_to_idx:
+                    assert got == b * L + coord_to_idx[nbr]
+                else:
+                    assert got == B * L
+    # padded outputs all sentinel
+    for b in range(B):
+        n = int(vb.num_voxels[0][b])
+        assert np.all(km[:, b * L + n : (b + 1) * L] == B * L)
+
+
+def test_down_and_up_maps_are_transposes():
+    maps = [MapSpec("down", 0, 2), MapSpec("up", 0, 2)]
+    shapes, spec, vb = build(maps, n=400, B=2)
+    down = vb.kmaps["down0k2"]
+    up = vb.kmaps["up0k2"]
+    B, L0 = vb.masks[0].shape
+    _, L1 = vb.masks[1].shape
+    # Every (offset k, fine voxel j) pair in the down map corresponds to the
+    # same pair in the up map: down[k, coarse] = fine  <=>  up[k, fine] = coarse
+    pairs_down = set()
+    for k in range(down.shape[0]):
+        for out in range(B * L1):
+            src = down[k, out]
+            if src < B * L0:
+                pairs_down.add((k, int(src), out))
+    pairs_up = set()
+    for k in range(up.shape[0]):
+        for out in range(B * L0):
+            src = up[k, out]
+            if src < B * L1:
+                pairs_up.add((k, out, int(src)))
+    assert pairs_down == pairs_up
+    assert len(pairs_down) > 0
+
+
+def test_downsample_coords_are_floor_div():
+    maps = [MapSpec("down", 0, 2)]
+    shapes, spec, vb = build(maps, n=400, B=1)
+    b = 0
+    n0 = int(vb.num_voxels[0][b])
+    n1 = int(vb.num_voxels[1][b])
+    expected = np.unique(
+        (np.floor_divide(vb.coords[0][b, :n0].astype(np.int64), 2)) * 2, axis=0
+    )
+    assert n1 == expected.shape[0]
+    got_set = {tuple(r) for r in vb.coords[1][b, :n1]}
+    assert got_set == {tuple(r) for r in expected}
+    # level-1 coords are multiples of 2
+    assert np.all(vb.coords[1][b, :n1] % 2 == 0)
+
+
+def test_interp_weights_sum_to_one_when_all_corners_present():
+    # Dense grid: every corner exists -> trilinear weights sum to 1.
+    n = 6
+    g = np.stack(np.meshgrid(*[np.arange(n)] * 3, indexing="ij"), -1)
+    coords = g.reshape(-1, 3).astype(np.float32) + 0.3  # fractional offset
+    feats = coords.copy()
+    labels = np.zeros(len(coords), dtype=np.int32)
+    spec = PyramidSpec(
+        voxel_size=1.0, num_points=len(coords),
+        level_caps=(len(coords) + 8,), maps=(),
+    )
+    vb = build_voxel_batch([(coords, feats, labels)], spec)
+    p = int(vb.point_mask[0].sum())
+    wsum = vb.interp_w[0, :p].sum(axis=1)
+    interior = np.all((coords > 0.5) & (coords < n - 1.5), axis=1)
+    np.testing.assert_allclose(wsum[interior], 1.0, atol=1e-5)
+
+
+def test_interp_exact_at_voxel_corner():
+    coords = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [5.0, 5.0, 5.0]],
+                      dtype=np.float32)
+    feats = np.eye(3, dtype=np.float32)
+    labels = np.zeros(3, dtype=np.int32)
+    spec = PyramidSpec(voxel_size=1.0, num_points=3, level_caps=(8,), maps=())
+    vb = build_voxel_batch([(coords, feats, labels)], spec)
+    # point 0 sits exactly at voxel (0,0,0): weight 1 on that corner
+    import jax.numpy as jnp
+    from csn_tpu.core.interp import interpolate_to_points
+
+    jb = vb.to_jax()
+    vf = jnp.asarray(vb.vox_feats)
+    out = interpolate_to_points(vf, jb.interp_idx, jb.interp_w)
+    np.testing.assert_allclose(np.asarray(out[0, 0]), feats[0], atol=1e-5)
+
+
+def test_point_to_voxel_roundtrip():
+    shapes, spec, vb = build([], n=200, B=2)
+    B, L = vb.masks[0].shape
+    for b in range(B):
+        c, _, _ = shapes[b]
+        ic = np.floor(c / spec.voxel_size).astype(np.int64)
+        for p in range(0, 200, 37):
+            idx = vb.point_to_voxel[b, p]
+            assert idx < B * L
+            np.testing.assert_array_equal(
+                vb.coords[0].reshape(B * L, 3)[idx], ic[p]
+            )
