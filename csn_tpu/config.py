@@ -1,0 +1,174 @@
+"""Configuration: one dataclass tree with CLI overrides and resume-reload.
+
+Flag-for-flag port of the reference's argparse groups
+(`MinkowskiNet/lib/config.py:40-170`) plus TPU-specific static-shape /
+sharding knobs. `--distort_partnet` expands to rot+jitter+scale exactly as
+`get_config()` does (`config.py:147-152`); the ME quantization/algorithm enums
+map to `qmode` (`--avg_feat`) and the engine's static-shape settings
+(`--opt_speed` has no TPU analogue: compilation is always static-shape).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+from csn_tpu.core.pyramid import QMode
+
+
+@dataclasses.dataclass
+class Config:
+    # Network (`config.py:44-49`)
+    model: str = "HRNetSimCSN3S"
+    conv1_kernel_size: int = 5
+    weights: str = "None"
+    n_head: int = 4
+    d_model: int = 256
+
+    # Optimizer (`config.py:52-63`)
+    optimizer: str = "SGD"
+    lr: float = 1e-2
+    sgd_momentum: float = 0.9
+    sgd_dampening: float = 0.1
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    weight_decay: float = 1e-4
+    param_histogram_freq: int = 5
+    save_param_histogram: bool = False
+    iter_size: int = 1
+    bn_momentum: float = 0.02
+
+    # Scheduler (`config.py:66-73`)
+    scheduler: str = "StepLR"
+    max_iter: int = 60000
+    max_epoch: int = 200
+    step_size: int = 10000
+    step_gamma: float = 0.5
+    poly_power: float = 0.9
+    exp_gamma: float = 0.99
+    exp_step_size: int = 445
+
+    # Directories (`config.py:77`)
+    log_dir: str = "outputs/default"
+
+    # Data (`config.py:80-97`)
+    dataset: str = "PartnetVoxelization0_05Dataset"
+    batch_size: int = 16
+    val_batch_size: int = 1
+    test_batch_size: int = 1
+    ignore_label: int = 255
+    train_limit_numpoints: int = 0
+    k_neighbors: int = 1
+    return_neighbors: bool = False
+    partnet_path: str = ""
+    partnet_category: str = ""
+
+    # Training / test (`config.py:100-115`)
+    is_train: bool = True
+    stat_freq: int = 40
+    test_stat_freq: int = 100
+    save_freq: int = 1000
+    val_freq: int = 1000
+    train_phase: str = "train"
+    val_phase: str = "val"
+    overwrite_weights: bool = True
+    resume: Optional[str] = None
+    resume_optimizer: bool = True
+    input_feat: str = "xyz"
+    normalize_coords: bool = True
+    normalize_method: str = "sphere"
+
+    # Data augmentation (`config.py:118-126`)
+    shift: bool = False
+    jitter: bool = False
+    scale: bool = False
+    rot_aug: bool = False
+    random_rotation: bool = False
+    distort_partnet: bool = False
+
+    # Test (`config.py:129-131`)
+    test_phase: str = "test"
+    save_pred_dir: str = "outputs/pred"
+
+    # Misc (`config.py:134-142`)
+    seed: int = 123
+    avg_feat: bool = False
+
+    # --- TPU-native settings (no reference analogue) ---
+    num_points: int = 10000          # per-shape point capacity
+    level0_cap: int = 0              # voxel capacity at stride 1 (0 = auto)
+    level_shrink: float = 3.0        # capacity decay per level
+    use_flash: bool = False          # Pallas flash attention for SSA/CSA
+    compute_dtype: str = "float32"   # 'float32' | 'bfloat16' activations
+    data_parallel: int = 1           # devices for DP (parallel/ module)
+
+    def voxel_size(self) -> float:
+        """Derived from the dataset name (PartnetVoxelization0_05Dataset...)"""
+        name = self.dataset
+        if "Voxelization" in name:
+            tag = name.split("Voxelization")[1].replace("Dataset", "")
+            return float(tag.replace("_", "."))
+        return 0.05
+
+    def qmode(self) -> QMode:
+        return QMode.UNWEIGHTED_AVERAGE if self.avg_feat else \
+            QMode.RANDOM_SUBSAMPLE
+
+    def normalized(self) -> "Config":
+        """Apply the derived-flag expansion of `get_config()`
+        (`config.py:145-155`)."""
+        c = dataclasses.replace(self)
+        if c.distort_partnet:
+            c.rot_aug = True
+            c.random_rotation = True
+            c.jitter = True
+            c.scale = True
+            c.shift = False
+        return c
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
+
+def _add_args(parser: argparse.ArgumentParser):
+    def str2bool(v):
+        return str(v).lower() in ("true", "1")
+
+    for f in dataclasses.fields(Config):
+        t = f.type
+        if t == "bool" or t is bool:
+            parser.add_argument(f"--{f.name}", type=str2bool, default=f.default)
+        elif t in ("int", int):
+            parser.add_argument(f"--{f.name}", type=int, default=f.default)
+        elif t in ("float", float):
+            parser.add_argument(f"--{f.name}", type=float, default=f.default)
+        else:
+            parser.add_argument(f"--{f.name}", type=str, default=f.default)
+    return parser
+
+
+def get_config(argv=None) -> Config:
+    """Parse CLI into a Config (+ `--distort_partnet` expansion). If
+    `--resume DIR` is given, reload DIR/config.json first and let explicit CLI
+    flags override it (`tasks/main_csn.py:32-35` semantics)."""
+    parser = _add_args(argparse.ArgumentParser())
+    args = parser.parse_args(argv)
+    cfg = Config(**vars(args))
+    if cfg.resume:
+        import os
+
+        cfg_path = os.path.join(cfg.resume, "config.json")
+        if os.path.isfile(cfg_path):
+            with open(cfg_path) as fh:
+                saved = json.load(fh)
+            saved["resume"] = cfg.resume
+            saved["is_train"] = cfg.is_train
+            cfg = Config.from_dict(saved)
+    return cfg.normalized()

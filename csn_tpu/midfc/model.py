@@ -1,0 +1,166 @@
+"""MID-FC CrossShapeAt head: SSA/CSA over precomputed O-CNN HRNet features.
+
+Port of `MID-FC/csa_models.py:146-242` (the used `after_fc=True` configs:
+`backbone_fc_{ssa,csa}_logit`, d_model=256, d_k=d_v=256): the input is the
+`fc_1` 256-d per-point feature map extracted by the O-CNN MID-FC network
+(`MID-FC/ocnn_extraction/tfsolver.py:206-268`), padded to 10000 points by
+prefix repetition (`features_data_loader.py:37-43`).
+
+Faithful quirk: the reference MHA runs on fixed 500-point chunks — each point
+attends only to its own chunk of 500, in both SSA and CSA
+(`csa_models.py:81-125`). `chunk_size=500` reproduces that block-diagonal
+attention exactly (required for checkpoint-eval parity); `chunk_size=None`
+gives full attention (a TPU-friendly improvement, off by default).
+
+Compatibility (`csa_models.py:209-230`): mean-pooled SSA features ->
+Linear(256,256, with bias) q/k -> L2 normalize -> plain cosine (temperature 1)
+-> softmax over [self]+K. (The reference's `u_k.view(B, -1, 256)` mixes batch
+elements for B>1; it always runs with batch_size=1 (`csa_training.py:28`), so
+the correct per-shape batched semantics implemented here agree with it on
+every shipped config.)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from csn_tpu.models.layers import MaskedBatchNorm
+from csn_tpu.ops.attention import MultiHeadAttention
+
+
+class ChunkedMHA(nn.Module):
+    """MHA applied independently per contiguous chunk of `chunk_size` points.
+
+    chunk_size=None -> single full-attention call."""
+
+    n_head: int
+    d_model: int
+    d_k: int
+    d_v: int
+    dropout: float = 0.1
+    chunk_size: Optional[int] = 500
+    use_flash: bool = False
+
+    def setup(self):
+        self.mha = MultiHeadAttention(
+            n_head=self.n_head, d_model=self.d_model, d_k=self.d_k,
+            d_v=self.d_v, dropout=self.dropout, use_flash=self.use_flash)
+
+    def __call__(self, q, k, v, train: bool = False):
+        if self.chunk_size is None:
+            return self.mha(q, k, v, train=train)
+        b, p, d = q.shape
+        c = self.chunk_size
+        assert p % c == 0, f"points {p} not divisible by chunk {c}"
+        n = p // c
+        qc = q.reshape(b * n, c, d)
+        kc = k.reshape(b * n, c, d)
+        vc = v.reshape(b * n, c, d)
+        out = self.mha(qc, kc, vc, train=train)
+        return out.reshape(b, p, d)
+
+
+class CrossShapeAt(nn.Module):
+    """`csa_models.py:146-242`. Inputs are [B, P, C] point features."""
+
+    num_classes: int
+    d_model: int = 256
+    n_heads: int = 8
+    K: int = 0
+    d_k: int = 256
+    d_v: int = 256
+    attention_type: str = "ssa"      # 'ssa' | 'csa'
+    after_fc: bool = True
+    chunk_size: Optional[int] = 500
+    use_flash: bool = False
+    bn_momentum: float = 0.1         # torch BatchNorm2d default
+
+    def setup(self):
+        # fc_1: 928 -> 256 conv1x1 (no bias) + BN + ReLU; only used when
+        # after_fc=False (backbone-feature input), `csa_models.py:150,191-202`.
+        if not self.after_fc:
+            self.fc_1 = nn.Dense(256, use_bias=False)
+            self.fc_1_bn = MaskedBatchNorm(momentum=self.bn_momentum)
+        # logit: 256 -> C conv1x1, xavier-uniform, no bias
+        # (`csa_models.py:151,177-180`).
+        self.logit = nn.Dense(self.num_classes, use_bias=False,
+                              kernel_init=nn.initializers.xavier_uniform())
+        self.attention = ChunkedMHA(
+            n_head=self.n_heads, d_model=self.d_model, d_k=self.d_k,
+            d_v=self.d_v, chunk_size=self.chunk_size,
+            use_flash=self.use_flash)
+        if "csa" in self.attention_type:
+            self.compatibility_q = nn.Dense(256, use_bias=True)
+            self.compatibility_k = nn.Dense(256, use_bias=True)
+
+    def _maybe_fc(self, x, train: bool):
+        if self.after_fc:
+            return x
+        b, p, _ = x.shape
+        mask = jnp.ones((b, p), dtype=bool)
+        y = self.fc_1(x)
+        y = self.fc_1_bn(y, mask, train)
+        return jax.nn.relu(y)
+
+    def get_ssa_feats(self, x, train: bool = False):
+        """`csa_models.py:204-207`. x: [B, P, d_model] -> [B, P, d_model]."""
+        return self.attention(x, x, x, train=train)
+
+    def get_csa_feats(self, x, neighbors, train: bool = False):
+        """`csa_models.py:209-242`. neighbors: [B, K+1, P, d] with self at
+        index 0 (only indices 1..K are attended; index 0's slot mirrors the
+        reference's convention)."""
+        kplus1 = neighbors.shape[1]
+        y_q = self.get_ssa_feats(x, train).mean(axis=1)           # [B, d]
+        pools = [y_q]
+        for k in range(1, kplus1):
+            n_ssa = self.get_ssa_feats(neighbors[:, k], train)
+            pools.append(n_ssa.mean(axis=1))
+        u_q = self.compatibility_q(y_q)
+        u_q = u_q / jnp.maximum(
+            jnp.linalg.norm(u_q, axis=-1, keepdims=True), 1e-12)
+        u_k = self.compatibility_k(jnp.stack(pools, axis=1))      # [B, K+1, d]
+        u_k = u_k / jnp.maximum(
+            jnp.linalg.norm(u_k, axis=-1, keepdims=True), 1e-12)
+        comp = jax.nn.softmax(
+            jnp.einsum("bd,bkd->bk", u_q, u_k), axis=-1)          # [B, K+1]
+
+        csa = comp[:, 0, None, None] * self.attention(x, x, x, train=train)
+        for k in range(1, kplus1):
+            xk = neighbors[:, k]
+            csa = csa + comp[:, k, None, None] * self.attention(
+                x, xk, xk, train=train)
+        return csa
+
+    def __call__(self, x, neighbors=None, train: bool = False):
+        """x: [B, P, C_in]; returns logits [B, P, num_classes]."""
+        x = self._maybe_fc(x, train)
+        if self.attention_type == "ssa":
+            feats = self.get_ssa_feats(x, train)
+        elif self.attention_type == "csa":
+            assert neighbors is not None
+            feats = self.get_csa_feats(x, neighbors, train)
+        else:
+            raise AttributeError(f"{self.attention_type} not supported")
+        return self.logit(feats)
+
+
+def get_model(attention_type: str, num_classes: int, n_heads: int,
+              K: Optional[int] = None, chunk_size: Optional[int] = 500,
+              use_flash: bool = False) -> CrossShapeAt:
+    """`csa_models.py:426-432` factory (after_fc=True, d_model=256)."""
+    if attention_type == "ssa":
+        return CrossShapeAt(num_classes=num_classes, d_model=256,
+                            n_heads=n_heads, attention_type="ssa",
+                            after_fc=True, chunk_size=chunk_size,
+                            use_flash=use_flash)
+    if attention_type == "csa":
+        return CrossShapeAt(num_classes=num_classes, d_model=256,
+                            n_heads=n_heads, K=K, attention_type="csa",
+                            after_fc=True, chunk_size=chunk_size,
+                            use_flash=use_flash)
+    raise AttributeError(f"{attention_type} not supported")

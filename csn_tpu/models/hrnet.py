@@ -1,0 +1,355 @@
+"""Sparse HRNet backbones + segmentation / cross-shape-attention heads.
+
+TPU-native re-design of `MinkowskiNet/models/hrnet.py`:
+
+* multi-resolution branches live on the voxel-pyramid levels (stride 2**l);
+* exchange blocks are chains of strided / transposed sparse convs over the
+  precomputed `down{l}k3` / `up{l}k3` kernel maps, fused by masked sums;
+* the SSA/CSA head runs *batched* masked attention over padded `[B, L0, d]`
+  voxel sets — replacing the per-batch-element Python loop of
+  `models/hrnet.py:378-410,456-470` with one vectorized kernel;
+* compatibility weights follow `models/hrnet.py:377-396`: mean-pooled SSA
+  features -> no-bias linear q/k -> L2 normalize -> cos/sqrt(d_model) ->
+  softmax over [self]+K.
+
+Model variants mirror `models/hrnet.py:278-293,493-508`:
+HRNetSeg{2,3,4}S and HRNetSimCSN{2,3,4}S.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from csn_tpu.core.pyramid import MapSpec
+from csn_tpu.models.blocks import BasicBlock
+from csn_tpu.models.layers import (
+    Conv1x1, Norm, NormType, SparseConv, global_avg_pool, relu_masked,
+)
+from csn_tpu.ops.attention import MultiHeadAttention
+
+
+def _dedup(maps):
+    seen, out = set(), []
+    for m in maps:
+        if m.name not in seen:
+            seen.add(m.name)
+            out.append(m)
+    return tuple(out)
+
+
+class HRNetBase(nn.Module):
+    """Backbone (`models/hrnet.py:16-163`)."""
+
+    out_channels: int
+    conv1_kernel_size: int = 5
+    bn_momentum: float = 0.02
+    norm_type: NormType = NormType.BATCH_NORM
+    d_model: int = 256
+    n_head: int = 4
+    k_neighbors: int = 0
+    attn_dropout: float = 0.1
+    use_flash: bool = False
+
+    NUM_STAGES = 1
+    NUM_BLOCKS = 3
+    INIT_DIM = 32
+    FEAT_FACTOR = 1
+
+    @classmethod
+    def num_levels(cls) -> int:
+        return cls.NUM_STAGES
+
+    @classmethod
+    def pyramid_requirements(cls, conv1_kernel_size: int = 5) -> Tuple[MapSpec, ...]:
+        S = cls.NUM_STAGES
+        maps = [MapSpec("same", 0, conv1_kernel_size)]
+        maps += [MapSpec("same", l, 3) for l in range(S)]
+        maps += [MapSpec("down", l, 3) for l in range(S - 1)]
+        maps += [MapSpec("up", l, 3) for l in range(S - 1)]
+        return _dedup(maps)
+
+    def _init_stage_dims(self) -> int:
+        return self.INIT_DIM * self.FEAT_FACTOR
+
+    def setup(self):
+        S = self.NUM_STAGES
+        isd = self._init_stage_dims()
+        nt, bm = self.norm_type, self.bn_momentum
+
+        self.conv0 = SparseConv(self.INIT_DIM, f"same0k{self.conv1_kernel_size}")
+        self.norm0 = Norm(nt, bm)
+        self.conv1 = SparseConv(isd, "same0k3")
+        self.norm1 = Norm(nt, bm)
+
+        stages = []
+        for i in range(S):
+            branches = []
+            for j in range(i + 1):
+                branches.append(tuple(
+                    BasicBlock(planes=isd * 2 ** j, level=j, norm_type=nt,
+                               bn_momentum=bm)
+                    for _ in range(self.NUM_BLOCKS)
+                ))
+            stages.append(tuple(branches))
+        self.stages = tuple(stages)
+
+        # exchange[i][j][k]: chain of (conv, norm) moving branch j (level j)
+        # to level k after stage i (`models/hrnet.py:75-120`).
+        ex_all = []
+        for i in range(S - 1):
+            depth = i + 1
+            ex_i = []
+            for j in range(depth):
+                init_ch = isd * 2 ** j
+                ex_j = []
+                for k in range(depth + 1):
+                    steps = []
+                    if j < k:  # downsampling chain
+                        for s in range(k - j):
+                            steps.append((
+                                SparseConv(init_ch * 2 ** (s + 1),
+                                           f"down{j + s}k3"),
+                                Norm(nt, bm),
+                            ))
+                    elif j > k:  # upsampling chain
+                        for s in range(j - k):
+                            steps.append((
+                                SparseConv(init_ch // 2 ** (s + 1),
+                                           f"up{j - s - 1}k3"),
+                                Norm(nt, bm),
+                            ))
+                    ex_j.append(tuple(steps))
+                ex_i.append(tuple(ex_j))
+            ex_all.append(tuple(ex_i))
+        self.exchange = tuple(ex_all)
+
+        self._setup_head()
+
+    def _setup_head(self):  # overridden by heads
+        pass
+
+    def _apply_chain(self, batch, chain, x, src_level: int, direction: int,
+                     train: bool):
+        """Apply a (conv, norm) chain with ReLUs between steps
+        (`models/hrnet.py:84-115`: relu precedes every conv except the first).
+        direction +1 = down, -1 = up."""
+        lvl = src_level
+        for idx, (conv, norm) in enumerate(chain):
+            if idx > 0:
+                x = relu_masked(x, batch.masks[lvl])
+            nxt = lvl + direction
+            x = conv(batch, x, batch.masks[nxt].shape)
+            x = norm(x, batch.masks[nxt], train)
+            lvl = nxt
+        return x
+
+    def forward_backbone(self, batch, train: bool):
+        """`models/hrnet.py:122-163`. Returns (out_init [B,L0,INIT_DIM],
+        stage_outputs tuple of [B,L_l,C_l])."""
+        S = self.NUM_STAGES
+        m0 = batch.masks[0]
+        x = batch.vox_feats
+
+        out = self.conv0(batch, x, m0.shape)
+        out = self.norm0(out, m0, train)
+        out_init = relu_masked(out, m0)
+
+        out = self.conv1(batch, out_init, m0.shape)
+        out = self.norm1(out, m0, train)
+        out = relu_masked(out, m0)
+
+        stage_input = [out]
+        stage_output = []
+        for i in range(S):
+            stage_output = []
+            for j in range(i + 1):
+                y = stage_input[j]
+                for blk in self.stages[i][j]:
+                    y = blk(batch, y, train)
+                stage_output.append(y)
+            if i == S - 1:
+                break
+            nxt = [[] for _ in range(i + 2)]
+            for j in range(i + 1):
+                for k in range(i + 2):
+                    if j == k:
+                        nxt[k].append(stage_output[j])
+                    else:
+                        direction = 1 if j < k else -1
+                        nxt[k].append(self._apply_chain(
+                            batch, self.exchange[i][j][k], stage_output[j],
+                            j, direction, train))
+            stage_input = []
+            for k in range(i + 2):
+                acc = nxt[k][0]
+                for extra in nxt[k][1:]:
+                    acc = acc + extra
+                stage_input.append(relu_masked(acc, batch.masks[k]))
+
+        return out_init, tuple(stage_output)
+
+
+class _FinalTransitions(nn.Module):
+    """Upsample every lower-resolution branch to level 0
+    (`models/hrnet.py:226-244,308-326`)."""
+
+    num_stages: int
+    init_stage_dims: int
+    norm_type: NormType
+    bn_momentum: float
+
+    def setup(self):
+        trans = []
+        for i in range(1, self.num_stages):
+            ch = self.init_stage_dims * 2 ** i
+            steps = tuple(
+                (SparseConv(ch, f"up{i - s - 1}k3"), Norm(self.norm_type,
+                                                          self.bn_momentum))
+                for s in range(i)
+            )
+            trans.append(steps)
+        self.trans = tuple(trans)
+
+    def __call__(self, batch, stage_outputs, out_init, train: bool):
+        outs = [out_init, stage_outputs[0]]
+        for i in range(1, self.num_stages):
+            x = stage_outputs[i]
+            lvl = i
+            for conv, norm in self.trans[i - 1]:
+                x = conv(batch, x, batch.masks[lvl - 1].shape)
+                x = norm(x, batch.masks[lvl - 1], train)
+                x = relu_masked(x, batch.masks[lvl - 1])
+                lvl -= 1
+            outs.append(x)
+        return jnp.concatenate(outs, axis=-1)
+
+
+class HRNetSeg(HRNetBase):
+    """Plain segmentation head (`models/hrnet.py:214-275`)."""
+
+    def _setup_head(self):
+        self.final_transitions = _FinalTransitions(
+            self.NUM_STAGES, self._init_stage_dims(), self.norm_type,
+            self.bn_momentum)
+        self.fc1 = Conv1x1(256, use_bias=True)
+        self.fc1_norm = Norm(self.norm_type, self.bn_momentum)
+        self.fc2 = Conv1x1(self.out_channels, use_bias=True)
+
+    def __call__(self, batch, train: bool = False):
+        out_init, stage_outputs = self.forward_backbone(batch, train)
+        out = self.final_transitions(batch, stage_outputs, out_init, train)
+        out = self.fc1(out)
+        out = self.fc1_norm(out, batch.masks[0], train)
+        out = relu_masked(out, batch.masks[0])
+        return self.fc2(out)
+
+
+class HRNetSimCSN(HRNetBase):
+    """SSA/CSA cross-shape head (`models/hrnet.py:296-490`).
+
+    __call__(query_batch, key_batches, train, return_ssa):
+      * return_ssa=True  -> [B, L0, d_model] SSA features (used for shape-graph
+        retrieval, `lib/csn_utils.py:63,82`).
+      * K == 0           -> SSA-only model (HRNetSimCSN*_SSA baseline).
+      * K > 0            -> compatibility-weighted mix of SSA and per-key CSA.
+    """
+
+    def _setup_head(self):
+        self.final_transitions = _FinalTransitions(
+            self.NUM_STAGES, self._init_stage_dims(), self.norm_type,
+            self.bn_momentum)
+        self.fc1 = Conv1x1(self.d_model, use_bias=True)
+        self.fc1_norm = Norm(self.norm_type, self.bn_momentum)
+        self.mha = MultiHeadAttention(
+            n_head=self.n_head, d_model=self.d_model,
+            d_k=self.d_model // self.n_head, d_v=self.d_model // self.n_head,
+            dropout=self.attn_dropout, use_flash=self.use_flash)
+        self.out_head = Conv1x1(self.out_channels, use_bias=True)
+        if self.k_neighbors > 0:
+            self.linear_q = nn.Dense(self.d_model, use_bias=False)
+            self.linear_k = nn.Dense(self.d_model, use_bias=False)
+
+    def _features(self, batch, train: bool) -> jnp.ndarray:
+        """backbone + final transitions + FC to d_model
+        (`models/hrnet.py:425-454`)."""
+        out_init, stage_outputs = self.forward_backbone(batch, train)
+        out = self.final_transitions(batch, stage_outputs, out_init, train)
+        out = self.fc1(out)
+        out = self.fc1_norm(out, batch.masks[0], train)
+        return relu_masked(out, batch.masks[0])
+
+    def _ssa(self, feats, mask, train: bool) -> jnp.ndarray:
+        y = self.mha(feats, feats, feats, mask, train=train)
+        return jnp.where(mask[..., None], y, 0.0)
+
+    def __call__(self, batch, keys: Sequence = (), train: bool = False,
+                 return_ssa: bool = False):
+        qmask = batch.masks[0]
+        q_out = self._features(batch, train)
+        q_ssa = self._ssa(q_out, qmask, train)
+        if return_ssa:
+            return q_ssa
+
+        K = len(keys)
+        if K > 0:
+            k_outs = [self._features(kb, train) for kb in keys]
+            k_ssas = [self._ssa(ko, kb.masks[0], train)
+                      for kb, ko in zip(keys, k_outs)]
+
+            pools = [global_avg_pool(q_ssa, qmask)]
+            pools += [global_avg_pool(ks, kb.masks[0])
+                      for kb, ks in zip(keys, k_ssas)]
+            q_glob = self.linear_q(pools[0])
+            q_glob = q_glob / jnp.maximum(
+                jnp.linalg.norm(q_glob, axis=-1, keepdims=True), 1e-12)
+            k_glob = self.linear_k(jnp.stack(pools, axis=1))  # [B, K+1, d]
+            k_glob = k_glob / jnp.maximum(
+                jnp.linalg.norm(k_glob, axis=-1, keepdims=True), 1e-12)
+            sim = jnp.einsum("bd,bkd->bk", q_glob, k_glob) / (
+                float(self.d_model) ** 0.5)
+            comp = jax.nn.softmax(sim, axis=-1)  # [B, K+1]
+
+            csa = comp[:, 0, None, None] * q_ssa
+            for i, (kb, ko) in enumerate(zip(keys, k_outs)):
+                cross = self.mha(q_out, ko, ko, kb.masks[0], train=train)
+                cross = jnp.where(qmask[..., None], cross, 0.0)
+                csa = csa + comp[:, i + 1, None, None] * cross
+        else:
+            csa = q_ssa
+
+        out = jnp.concatenate([q_out, csa], axis=-1)
+        return self.out_head(out)
+
+
+class HRNetSeg2S(HRNetSeg):
+    FEAT_FACTOR = 2
+    NUM_STAGES = 2
+
+
+class HRNetSeg3S(HRNetSeg):
+    FEAT_FACTOR = 2
+    NUM_STAGES = 3
+
+
+class HRNetSeg4S(HRNetSeg):
+    FEAT_FACTOR = 2
+    NUM_STAGES = 4
+
+
+class HRNetSimCSN2S(HRNetSimCSN):
+    FEAT_FACTOR = 4
+    NUM_STAGES = 2
+
+
+class HRNetSimCSN3S(HRNetSimCSN):
+    FEAT_FACTOR = 2
+    NUM_STAGES = 3
+
+
+class HRNetSimCSN4S(HRNetSimCSN):
+    FEAT_FACTOR = 2
+    NUM_STAGES = 4

@@ -1,0 +1,150 @@
+"""kNN shape-compatibility graph construction.
+
+The retrieval measure is the mean-of-max cosine between the per-point SSA
+features of two shapes — identical math in both reference branches
+(`MinkowskiNet/models/hrnet.py:472-490`, `MID-FC/csa_models.py:244-267`):
+normalize rows, all-pairs cosine [P_q, P_k], max over key points, mean over
+query points.
+
+TPU design (replaces the reference's O(N_q * N_k) Python double loop with
+per-pair CUDA matmuls, `lib/csn_utils.py:44-97`): descriptors for the whole
+collection are computed in batched forward passes and cached; the pairwise
+measure runs as blocked `[bq*P, d] @ [d, bk*P]` matmuls on the MXU via a
+jitted, `lax.map`-chunked kernel. Masks handle per-shape padding.
+
+Also includes: random-pair initialization (`csn_utils.py:31-43`), top-(K+1)
+self-excluding selection (`csn_utils.py:90-96`, `csa_models.py:270-280`), and
+the KMeans candidate pruning used for big categories
+(`csa_models.py:302-332`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def random_pairs(n_query: int, n_key: int, K: int, is_same: bool,
+                 rng: Optional[np.random.Generator] = None
+                 ) -> List[Tuple[int, List[int]]]:
+    """`csn_utils.py:31-43`: K distinct random neighbors per query, excluding
+    self when query and key collections coincide."""
+    rng = rng or np.random.default_rng()
+    out = []
+    for idx in range(n_query):
+        indices = rng.choice(n_key, K, replace=False)
+        if is_same:
+            while idx in indices:
+                indices = rng.choice(n_key, K, replace=False)
+        out.append((idx, indices.tolist()))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("key_chunk",))
+def _retrieval_block(
+    q_feats: jnp.ndarray,   # [BQ, P, d] SSA features (query block)
+    q_mask: jnp.ndarray,    # [BQ, P]
+    k_feats: jnp.ndarray,   # [NK, P, d]
+    k_mask: jnp.ndarray,    # [NK, P]
+    key_chunk: int = 8,
+) -> jnp.ndarray:
+    """Mean-of-max cosine of every query in the block vs every key.
+    Returns [BQ, NK]."""
+
+    def norm(x):
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True),
+                               1e-12)
+
+    qn = norm(q_feats)
+    kn = norm(k_feats)
+    nk = kn.shape[0]
+    pad = (-nk) % key_chunk
+    kn_p = jnp.pad(kn, ((0, pad), (0, 0), (0, 0)))
+    km_p = jnp.pad(k_mask, ((0, pad), (0, 0)))
+    kc = kn_p.reshape(-1, key_chunk, *kn_p.shape[1:])
+    kmc = km_p.reshape(-1, key_chunk, km_p.shape[1])
+
+    def one_chunk(args):
+        k_blk, km_blk = args  # [C, P, d], [C, P]
+        # [BQ, C, Pq, Pk]
+        sim = jnp.einsum("qpd,ckd->qcpk", qn, k_blk,
+                         preferred_element_type=jnp.float32)
+        sim = jnp.where(km_blk[None, :, None, :], sim, -jnp.inf)
+        mx = sim.max(axis=-1)                       # [BQ, C, Pq]
+        mx = jnp.where(q_mask[:, None, :], mx, 0.0)
+        denom = jnp.maximum(q_mask.sum(axis=-1), 1)[:, None]
+        return mx.sum(axis=-1) / denom              # [BQ, C]
+
+    res = jax.lax.map(one_chunk, (kc, kmc))         # [nchunks, BQ, C]
+    res = jnp.moveaxis(res, 0, 1).reshape(qn.shape[0], -1)
+    return res[:, :nk]
+
+
+def retrieval_measure(
+    q_feats: np.ndarray, q_mask: np.ndarray,
+    k_feats: np.ndarray, k_mask: np.ndarray,
+    query_block: int = 4, key_chunk: int = 8,
+) -> np.ndarray:
+    """Full [N_q, N_k] mean-of-max cosine matrix, computed in device blocks."""
+    nq = q_feats.shape[0]
+    rows = []
+    for s in range(0, nq, query_block):
+        e = min(s + query_block, nq)
+        qb = q_feats[s:e]
+        qm = q_mask[s:e]
+        if qb.shape[0] < query_block:  # static shapes for jit cache
+            padn = query_block - qb.shape[0]
+            qb = np.concatenate([qb, np.repeat(qb[-1:], padn, 0)], axis=0)
+            qm = np.concatenate([qm, np.repeat(qm[-1:], padn, 0)], axis=0)
+        r = np.asarray(_retrieval_block(
+            jnp.asarray(qb), jnp.asarray(qm), jnp.asarray(k_feats),
+            jnp.asarray(k_mask), key_chunk=key_chunk))
+        rows.append(r[: e - s])
+    return np.concatenate(rows, axis=0)
+
+
+def knn_graph_from_measure(measure: np.ndarray, K: int,
+                           is_same: bool) -> List[Tuple[int, List[int]]]:
+    """Top-K neighbors per query with self-exclusion via top-(K+1)
+    (`csn_utils.py:90-96`)."""
+    out = []
+    for q in range(measure.shape[0]):
+        order = np.argsort(-measure[q])
+        picks = []
+        for idx in order:
+            if is_same and idx == q:
+                continue
+            picks.append(int(idx))
+            if len(picks) == K:
+                break
+        out.append((q, picks))
+    return out
+
+
+def knn_graph_topk_rows(measure: np.ndarray, K: int) -> np.ndarray:
+    """MID-FC style raw top-(K+1) rows *including* self
+    (`csa_models.py:270-280`); the dataset skips the self entry when
+    assembling neighbors (`features_data_loader.py:124-131`)."""
+    idx = np.argsort(-measure, axis=1)[:, : K + 1]
+    return idx
+
+
+def kmeans_candidate_indices(global_feats: np.ndarray, n_centers: int = 0,
+                             seed: int = 0) -> np.ndarray:
+    """KMeans pruning for big categories (`csa_models.py:302-332`): cluster
+    max-pooled SSA descriptors into N/10 centers, return the index of the
+    shape nearest to each center."""
+    n = global_feats.shape[0]
+    if n_centers <= 0:
+        n_centers = max(n // 10, 1)
+    from sklearn.cluster import KMeans
+
+    km = KMeans(n_clusters=n_centers, random_state=seed, n_init=10)
+    km.fit(global_feats)
+    centers = km.cluster_centers_[:, None, :]
+    d = ((centers - global_feats[None, :, :]) ** 2).sum(-1)
+    return np.argmin(d, axis=-1)

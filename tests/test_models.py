@@ -1,0 +1,124 @@
+"""Model zoo smoke + semantics tests (forward shapes, masking invariants,
+SSA/CSA paths, gradient flow)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from csn_tpu.data.pipeline import pyramid_spec_for_model, collate_shapes
+from csn_tpu.models import load_model, MODELS
+
+
+def make_shapes(B=2, n=80, seed=0):
+    rng = np.random.default_rng(seed)
+    shapes = []
+    for _ in range(B):
+        coords = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+        feats = coords.copy()
+        labels = rng.integers(0, 5, size=n).astype(np.int32)
+        shapes.append((coords, feats, labels))
+    return shapes
+
+
+def build_jax_batch(model_cls, B=2, n=80, seed=0, voxel=0.2):
+    spec = pyramid_spec_for_model(model_cls, num_points=n, voxel_size=voxel,
+                                  conv1_kernel_size=3, shrink=1.5)
+    vb = collate_shapes(make_shapes(B, n, seed), spec)
+    return vb, vb.to_jax(), spec
+
+
+def test_registry_has_reference_model_names():
+    for name in ["HRNetSeg2S", "HRNetSeg3S", "HRNetSeg4S", "HRNetSimCSN2S",
+                 "HRNetSimCSN3S", "HRNetSimCSN4S", "ResUNet14", "ResUNet18",
+                 "ResUNet34", "ResUNet50", "ResUNet101", "Res16UNet14",
+                 "Res16UNet18", "Res16UNet34", "Res16UNet50", "Res16UNet101",
+                 "Res16UNet34C", "ResNet14", "ResNet18", "ResNet34",
+                 "ResNet50", "ResNet101"]:
+        assert name in MODELS, name
+
+
+@pytest.mark.parametrize("name", ["HRNetSeg3S", "Res16UNet34C", "ResUNet14",
+                                  "ResNet14"])
+def test_forward_shapes_and_masking(name):
+    cls = load_model(name)
+    vb, jb, spec = build_jax_batch(cls)
+    model = cls(out_channels=5, conv1_kernel_size=3)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.PRNGKey(0), jb)
+    out = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, jb)
+    out_level = 0 if name != "ResNet14" else 5
+    B, L = vb.masks[out_level].shape
+    assert out.shape == (B, L, 5)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_hrnet_csn_ssa_and_csa_paths():
+    cls = load_model("HRNetSimCSN3S")
+    vb, jb, spec = build_jax_batch(cls)
+    kb1 = collate_shapes(make_shapes(2, 80, seed=7), spec).to_jax()
+    kb2 = collate_shapes(make_shapes(2, 80, seed=8), spec).to_jax()
+    model = cls(out_channels=5, conv1_kernel_size=3, k_neighbors=2,
+                d_model=32, n_head=4)
+    variables = jax.jit(lambda r, b, ks: model.init(r, b, ks, train=False))(
+        jax.random.PRNGKey(0), jb, (kb1, kb2))
+
+    ssa = jax.jit(lambda v, b: model.apply(v, b, train=False,
+                                           return_ssa=True))(variables, jb)
+    B, L = vb.masks[0].shape
+    assert ssa.shape == (B, L, 32)
+    # padded voxel rows are masked to zero
+    n0 = int(vb.num_voxels[0][0])
+    assert np.all(np.asarray(ssa)[0, n0:] == 0)
+
+    out = jax.jit(lambda v, b, ks: model.apply(v, b, ks, train=False))(
+        variables, jb, (kb1, kb2))
+    assert out.shape == (B, L, 5)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # K=0 call with same params also works (SSA-only output path)
+    out0 = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, jb)
+    assert out0.shape == (B, L, 5)
+
+
+def test_csa_compatibility_sums_to_one_effect():
+    # With identical query/key batches, compatibility softmax is uniform-ish;
+    # just check invariance: scaling output exists and differs from SSA-only.
+    cls = load_model("HRNetSimCSN3S")
+    vb, jb, spec = build_jax_batch(cls)
+    kb = collate_shapes(make_shapes(2, 80, seed=9), spec).to_jax()
+    model = cls(out_channels=4, conv1_kernel_size=3, k_neighbors=1,
+                d_model=32, n_head=2)
+    variables = jax.jit(lambda r, b, ks: model.init(r, b, ks, train=False))(
+        jax.random.PRNGKey(1), jb, (kb,))
+    out_csa = jax.jit(lambda v, b, ks: model.apply(v, b, ks, train=False))(
+        variables, jb, (kb,))
+    out_ssa = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, jb)
+    assert not np.allclose(np.asarray(out_csa), np.asarray(out_ssa))
+
+
+def test_train_mode_updates_batch_stats_and_grads_flow():
+    cls = load_model("HRNetSeg3S")
+    vb, jb, spec = build_jax_batch(cls)
+    model = cls(out_channels=5, conv1_kernel_size=3)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=True),
+                        )(jax.random.PRNGKey(0), jb)
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    def loss_fn(p):
+        out, new_stats = model.apply(
+            {"params": p, "batch_stats": stats}, jb, train=True,
+            mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(2)})
+        return jnp.sum(out ** 2), new_stats
+
+    (loss, new_stats), grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True))(params)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    assert any(np.abs(np.asarray(g)).sum() > 0 for g in leaves)
+    # batch stats changed
+    old = jax.tree_util.tree_leaves(stats)
+    new = jax.tree_util.tree_leaves(new_stats["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(old, new))
