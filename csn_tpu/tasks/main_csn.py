@@ -1,0 +1,78 @@
+"""CSN entry point (port of `MinkowskiNet/tasks/main_csn.py`).
+
+Train:  python -m csn_tpu.tasks.main_csn --is_train True --partnet_path ... \
+            --partnet_category Chair --model HRNetSimCSN3S --k_neighbors 1
+Eval:   python -m csn_tpu.tasks.main_csn --is_train False --resume <log_dir>
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+
+import numpy as np
+
+from csn_tpu.config import Config, get_config
+from csn_tpu.data.partnet import NUM_SEG, make_partnet_dataset
+from csn_tpu.data.pipeline import pyramid_spec_for_model
+from csn_tpu.models import load_model
+from csn_tpu.train.trainer import CSNTrainer
+from csn_tpu.utils.logging import setup_logging
+
+
+def build_trainer(config: Config, phases=("train", "val")) -> CSNTrainer:
+    num_labels = NUM_SEG[config.partnet_category.split("-")[0]]
+    model_cls = load_model(config.model)
+    model = model_cls(
+        out_channels=num_labels,
+        conv1_kernel_size=config.conv1_kernel_size,
+        bn_momentum=config.bn_momentum,
+        d_model=config.d_model,
+        n_head=config.n_head,
+        k_neighbors=config.k_neighbors,
+        use_flash=config.use_flash,
+    )
+    spec = pyramid_spec_for_model(
+        model_cls, num_points=config.num_points,
+        voxel_size=config.voxel_size(),
+        conv1_kernel_size=config.conv1_kernel_size,
+        level0_cap=config.level0_cap or None,
+        qmode=config.qmode(), shrink=config.level_shrink)
+    train_ds = make_partnet_dataset(
+        config.partnet_path, config.partnet_category, phases[0],
+        distort=config.distort_partnet, normalize=config.normalize_coords,
+        normalize_method=config.normalize_method)
+    val_ds = make_partnet_dataset(
+        config.partnet_path, config.partnet_category, phases[1],
+        normalize=config.normalize_coords,
+        normalize_method=config.normalize_method)
+    return CSNTrainer(model, config, spec, train_ds, val_ds, num_labels)
+
+
+def main(argv=None):
+    config = get_config(argv)
+    setup_logging()
+    logging.info("===> Configurations: %s", config)
+
+    if config.is_train:
+        trainer = build_trainer(config)
+        trainer.train()
+    else:
+        trainer = build_trainer(config, phases=("train", "val"))
+        trainer.initialize()
+        if config.resume:
+            trainer.resume()
+        test_ds = make_partnet_dataset(
+            config.partnet_path, config.partnet_category, config.test_phase,
+            normalize=config.normalize_coords,
+            normalize_method=config.normalize_method)
+        if config.k_neighbors > 0:
+            trainer.construct_test_graph(test_ds)
+        res = trainer.test_on(test_ds, save_pred_dir=config.save_pred_dir)
+        logging.info("Test: loss %.4f score %.3f PartIoU %.2f ShapeIoU %.2f",
+                     *res)
+        return res
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""Plain segmentation entry point (port of `MinkowskiNet/tasks/main_seg.py`)."""
+
+from __future__ import annotations
+
+import logging
+
+from csn_tpu.config import Config, get_config
+from csn_tpu.data.partnet import NUM_SEG, make_partnet_dataset
+from csn_tpu.data.pipeline import pyramid_spec_for_model
+from csn_tpu.models import load_model
+from csn_tpu.train.trainer import SegTrainer
+from csn_tpu.utils.logging import setup_logging
+
+
+def build_trainer(config: Config, phases=("train", "val")) -> SegTrainer:
+    num_labels = NUM_SEG[config.partnet_category.split("-")[0]]
+    model_cls = load_model(config.model)
+    model = model_cls(
+        out_channels=num_labels,
+        conv1_kernel_size=config.conv1_kernel_size,
+        bn_momentum=config.bn_momentum)
+    spec = pyramid_spec_for_model(
+        model_cls, num_points=config.num_points,
+        voxel_size=config.voxel_size(),
+        conv1_kernel_size=config.conv1_kernel_size,
+        level0_cap=config.level0_cap or None,
+        qmode=config.qmode(), shrink=config.level_shrink)
+    train_ds = make_partnet_dataset(
+        config.partnet_path, config.partnet_category, phases[0],
+        distort=config.distort_partnet, normalize=config.normalize_coords,
+        normalize_method=config.normalize_method)
+    val_ds = make_partnet_dataset(
+        config.partnet_path, config.partnet_category, phases[1],
+        normalize=config.normalize_coords,
+        normalize_method=config.normalize_method)
+    return SegTrainer(model, config, spec, train_ds, val_ds, num_labels)
+
+
+def main(argv=None):
+    config = get_config(argv)
+    setup_logging()
+    logging.info("===> Configurations: %s", config)
+    if config.is_train:
+        trainer = build_trainer(config)
+        trainer.train()
+    else:
+        trainer = build_trainer(config)
+        trainer.initialize()
+        if config.resume:
+            trainer.resume()
+        test_ds = make_partnet_dataset(
+            config.partnet_path, config.partnet_category, config.test_phase,
+            normalize=config.normalize_coords,
+            normalize_method=config.normalize_method)
+        res = trainer.test_on(test_ds, save_pred_dir=config.save_pred_dir)
+        logging.info("Test: loss %.4f score %.3f PartIoU %.2f ShapeIoU %.2f",
+                     *res)
+        return res
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,687 @@
+"""Training / evaluation orchestration for the sparse-voxel (Mink-branch)
+models.
+
+Ports the reference trainers:
+* `MinkowskiNet/lib/trainer_seg.py` — plain segmentation loop.
+* `MinkowskiNet/lib/trainer_csn.py` — CSN loop with the
+  plateau -> reload-best -> rebuild-shape-graph state machine
+  (MAX_PATIENCE=10, MAX_COOLDOWN=5, MAX_GRAPH_CONSTRUCTION=3,
+  `trainer_csn.py:36,115-158`), iter_size gradient accumulation
+  (`trainer_csn.py:188-224`), checkpoints carrying `csn_data`
+  (`trainer_csn.py:315-387`), and the static `test()` evaluation
+  (`trainer_csn.py:400-500`).
+
+TPU structure: the host loop owns control flow (epochs, patience, graph
+rebuilds, plateau LR); all compute is in two jitted functions (grad step and
+update step) over static-shape `JaxVoxelBatch`es. Gradient accumulation runs
+the jitted grad step `iter_size` times and averages on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import os
+import os.path as osp
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from csn_tpu.config import Config
+from csn_tpu.core.pyramid import PyramidSpec, build_voxel_batch
+from csn_tpu.core.interp import interpolate_to_points
+from csn_tpu.data.sampler import InfSampler
+from csn_tpu.retrieval import graph as retrieval
+from csn_tpu.train import metrics as M
+from csn_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from csn_tpu.train.losses import cross_entropy_ignore, predict_nonzero
+from csn_tpu.train.optim import (
+    ReduceLROnPlateau, get_lr, make_lr_schedule, make_optimizer, set_lr,
+)
+from csn_tpu.utils.logging import MetricsWriter
+from csn_tpu.utils.timer import AverageMeter, Timer
+
+
+def build_batch_from_dataset(dataset, indices: Sequence[int],
+                             spec: PyramidSpec,
+                             rng: np.random.Generator,
+                             augment: bool):
+    shapes = [dataset.get(i, rng=rng, augment=augment) for i in indices]
+    return build_voxel_batch(shapes, spec, rng=rng)
+
+
+class BaseTrainer:
+    """Shared machinery: jitted steps, checkpointing, eval loop."""
+
+    def __init__(self, model, config: Config, spec: PyramidSpec,
+                 train_dataset, val_dataset, num_labels: int):
+        self.model = model
+        self.config = config
+        self.spec = spec
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+        self.num_labels = num_labels
+        self.K = getattr(config, "k_neighbors", 0) if self._uses_keys() else 0
+
+        self.writer = MetricsWriter(config.log_dir)
+        self.data_timer, self.iter_timer = Timer(), Timer()
+        self.data_time_avg, self.iter_time_avg = AverageMeter(), AverageMeter()
+        self.losses, self.scores = AverageMeter(), AverageMeter()
+
+        self.rng = np.random.default_rng(config.seed)
+        self.jax_rng = jax.random.PRNGKey(config.seed)
+        self.sampler = InfSampler(len(train_dataset), shuffle=True,
+                                  rng=self.rng)
+
+        self.optimizer = make_optimizer(
+            optimizer=config.optimizer, lr=config.lr,
+            sgd_momentum=config.sgd_momentum,
+            sgd_dampening=config.sgd_dampening,
+            adam_beta1=config.adam_beta1, adam_beta2=config.adam_beta2,
+            weight_decay=config.weight_decay)
+        self.lr_factor = 0.5
+        self.schedule = make_lr_schedule(
+            config.scheduler, config.lr, step_size=config.step_size,
+            step_gamma=config.step_gamma, max_iter=config.max_iter,
+            poly_power=config.poly_power, exp_gamma=config.exp_gamma,
+            exp_step_size=config.exp_step_size)
+
+        self.best_val_part_iou, self.best_val_part_iou_iter = 0.0, 0
+        self.best_val_shape_iou, self.best_val_shape_iou_iter = 0.0, 0
+        self.best_val_loss, self.best_val_loss_iter = np.inf, 0
+        self.best_val_acc, self.best_val_acc_iter = 0.0, 0
+        self.curr_iter, self.epoch, self.is_training = 1, 1, True
+
+        self.params = None
+        self.batch_stats = None
+        self.opt_state = None
+
+        self._grad_step = jax.jit(self._make_grad_step())
+        self._apply_step = jax.jit(self._make_apply_step())
+        self._eval_step = jax.jit(self._make_eval_step())
+
+    # -- model-specific hooks -------------------------------------------------
+    def _uses_keys(self) -> bool:
+        return False
+
+    def _apply_model(self, variables, qb, keys, train, mutable, rngs):
+        return self.model.apply(variables, qb, train=train, mutable=mutable,
+                                rngs=rngs)
+
+    # -- jitted steps ---------------------------------------------------------
+    def _make_grad_step(self):
+        def grad_step(params, batch_stats, qb, keys, rng):
+            def loss_fn(p):
+                out, new_vars = self._apply_model(
+                    {"params": p, "batch_stats": batch_stats}, qb, keys,
+                    train=True, mutable=["batch_stats"],
+                    rngs={"dropout": rng})
+                point_logits = interpolate_to_points(
+                    out, qb.interp_idx, qb.interp_w)
+                loss = cross_entropy_ignore(
+                    point_logits, qb.labels, self.config.ignore_label,
+                    qb.point_mask)
+                return loss, (new_vars["batch_stats"], point_logits)
+
+            (loss, (new_stats, point_logits)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            pred = predict_nonzero(point_logits)
+            return loss, grads, new_stats, pred
+
+        return grad_step
+
+    def _make_apply_step(self):
+        def apply_step(params, opt_state, grads):
+            updates, new_opt_state = self.optimizer.update(
+                grads, opt_state, params)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p + u, params, updates)
+            return new_params, new_opt_state
+
+        return apply_step
+
+    def _make_eval_step(self):
+        def eval_step(params, batch_stats, qb, keys):
+            out = self._apply_model(
+                {"params": params, "batch_stats": batch_stats}, qb, keys,
+                train=False, mutable=False, rngs=None)
+            point_logits = interpolate_to_points(out, qb.interp_idx,
+                                                 qb.interp_w)
+            loss = cross_entropy_ignore(
+                point_logits, qb.labels, self.config.ignore_label,
+                qb.point_mask)
+            pred = predict_nonzero(point_logits)
+            return loss, point_logits, pred
+
+        return eval_step
+
+    # -- init -----------------------------------------------------------------
+    def initialize(self):
+        idxs = list(range(min(self.config.batch_size,
+                              len(self.train_dataset))))
+        idxs = (idxs * self.config.batch_size)[: self.config.batch_size]
+        qb = build_batch_from_dataset(self.train_dataset, idxs, self.spec,
+                                      self.rng, augment=False).to_jax()
+        keys = self._fetch_keys_for_init(qb, idxs)
+        init_rng, self.jax_rng = jax.random.split(self.jax_rng)
+
+        def init_fn(r, b, ks):
+            if self._uses_keys():
+                return self.model.init(r, b, ks, train=False)
+            return self.model.init(r, b, train=False)
+
+        variables = jax.jit(init_fn)(init_rng, qb, keys)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self.opt_state = self.optimizer.init(self.params)
+        n_params = sum(int(np.prod(p.shape))
+                       for p in jax.tree_util.tree_leaves(self.params))
+        logging.info("===> Number of trainable parameters: %d", n_params)
+
+    def _fetch_keys_for_init(self, qb, idxs):
+        return ()
+
+    # -- data -----------------------------------------------------------------
+    def _fetch_data(self, augment: bool = True):
+        idxs = self.sampler.take(self.config.batch_size)
+        qb = build_batch_from_dataset(self.train_dataset, idxs, self.spec,
+                                      self.rng, augment=augment)
+        keys = self._fetch_keys(self.train_dataset, idxs, augment)
+        return qb.to_jax(), keys
+
+    def _fetch_keys(self, key_dataset, idxs, augment):
+        return ()
+
+    # -- train loop -----------------------------------------------------------
+    @property
+    def data_len(self) -> int:
+        n_batches = max(len(self.train_dataset) // self.config.batch_size, 1)
+        return (n_batches + self.config.iter_size - 1) // self.config.iter_size
+
+    def _current_lr(self) -> float:
+        if self.schedule is not None:
+            return float(self.schedule(self.curr_iter))
+        return float(self.plateau.lr) if hasattr(self, "plateau") else \
+            self.config.lr
+
+    def _train_iter(self):
+        self.iter_timer.tic()
+        data_time, batch_loss = 0.0, 0.0
+        grads_acc = None
+        pred = target = mask = None
+        for _ in range(self.config.iter_size):
+            self.data_timer.tic()
+            qb, keys = self._fetch_data()
+            data_time += self.data_timer.toc(False)
+            step_rng, self.jax_rng = jax.random.split(self.jax_rng)
+            loss, grads, new_stats, pred = self._grad_step(
+                self.params, self.batch_stats, qb, keys, step_rng)
+            self.batch_stats = new_stats
+            batch_loss += float(loss) / self.config.iter_size
+            if grads_acc is None:
+                grads_acc = grads
+            else:
+                grads_acc = jax.tree_util.tree_map(
+                    lambda a, b: a + b, grads_acc, grads)
+            target, mask = qb.labels, qb.point_mask
+        if self.config.iter_size > 1:
+            grads_acc = jax.tree_util.tree_map(
+                lambda g: g / self.config.iter_size, grads_acc)
+
+        self.opt_state = set_lr(self.opt_state, self._current_lr())
+        self.params, self.opt_state = self._apply_step(
+            self.params, self.opt_state, grads_acc)
+
+        self.data_time_avg.update(data_time)
+        self.iter_time_avg.update(self.iter_timer.toc(False))
+
+        pred_np = np.asarray(pred)
+        target_np = np.asarray(target)
+        mask_np = np.asarray(mask)
+        score = M.precision_at_one_partnet(
+            np.where(mask_np, pred_np, self.config.ignore_label),
+            np.where(mask_np, target_np, self.config.ignore_label),
+            self.config.ignore_label)
+        n = int(mask_np.sum())
+        self.losses.update(batch_loss, n)
+        self.scores.update(score, n)
+
+    def _log_stats(self):
+        lr = self._current_lr()
+        logging.info(
+            "===> Epoch[%d](%d/%d): Loss %.4f\tLR: %.3e\tScore %.3f\t"
+            "Data time: %.4f, Total iter time: %.4f",
+            self.epoch, self.curr_iter, self.data_len, self.losses.avg, lr,
+            self.scores.avg, self.data_time_avg.avg, self.iter_time_avg.avg)
+        self.data_time_avg.reset()
+        self.iter_time_avg.reset()
+        self.writer.add_scalar("training/loss", self.losses.avg,
+                               self.curr_iter)
+        self.writer.add_scalar("training/precision_at_1", self.scores.avg,
+                               self.curr_iter)
+        self.writer.add_scalar("training/learning_rate", lr, self.curr_iter)
+
+    def _log_params(self):
+        if not self.config.save_param_histogram:
+            return
+        flat = jax.tree_util.tree_leaves_with_path(self.params)
+        for path, leaf in flat:
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            self.writer.add_histogram(
+                self.model.__class__.__name__ + "/" + name,
+                np.asarray(leaf), self.epoch)
+
+    # -- eval -----------------------------------------------------------------
+    def validate(self) -> Tuple[float, float, float, float]:
+        res = self.test_on(self.val_dataset)
+        self.writer.add_scalar("validation/PartIoU", res[2], self.curr_iter)
+        self.writer.add_scalar("validation/ShapeIoU", res[3], self.curr_iter)
+        self.writer.add_scalar("validation/loss", res[0], self.curr_iter)
+        self.writer.add_scalar("validation/precision_at_1", res[1],
+                               self.curr_iter)
+        return res
+
+    def test_on(self, dataset, save_pred_dir: Optional[str] = None
+                ) -> Tuple[float, float, float, float]:
+        """Evaluation loop (`trainer_csn.py:400-500`): per-shape IoU with the
+        Mink metric definitions, loss and precision@1 averages."""
+        bs = max(self.config.test_batch_size, 1)
+        losses, scores, ious = AverageMeter(), AverageMeter(), {}
+        n = len(dataset)
+        shape_id = 0
+        for start in range(0, n, bs):
+            idxs = list(range(start, min(start + bs, n)))
+            valid = len(idxs)
+            while len(idxs) < bs:
+                idxs.append(idxs[-1])
+            qb_host = build_batch_from_dataset(dataset, idxs, self.spec,
+                                               self.rng, augment=False)
+            qb = qb_host.to_jax()
+            keys = self._fetch_eval_keys(dataset, idxs)
+            loss, point_logits, pred = self._eval_step(
+                self.params, self.batch_stats, qb, keys)
+            pred = np.asarray(pred)
+            labels = np.asarray(qb_host.labels)
+            mask = np.asarray(qb_host.point_mask)
+            losses.update(float(loss), int(mask[:valid].sum()))
+            for b in range(valid):
+                m = mask[b]
+                g, p = labels[b][m], pred[b][m]
+                scores.update(M.precision_at_one_partnet(p, g), int(m.sum()))
+                ious[shape_id] = M.calculate_iou(g, p, self.num_labels)
+                shape_id += 1
+        part_iou = M.calculate_part_iou(ious, self.num_labels) * 100
+        shape_iou = M.calculate_shape_iou(ious) * 100
+        if save_pred_dir:
+            os.makedirs(save_pred_dir, exist_ok=True)
+            with open(osp.join(save_pred_dir, "results_log.txt"), "w") as f:
+                f.write("Shape IoU: " + str(np.round(shape_iou, 2))
+                        + "\nPart IoU: " + str(np.round(part_iou, 2)))
+        return losses.avg, scores.avg, part_iou, shape_iou
+
+    def _fetch_eval_keys(self, dataset, idxs):
+        return ()
+
+    # -- checkpointing --------------------------------------------------------
+    def _tree_state(self):
+        return {"params": self.params, "batch_stats": self.batch_stats,
+                "opt_state": self.opt_state}
+
+    def _host_state(self) -> Dict:
+        return {
+            "iteration": self.curr_iter,
+            "epoch": self.epoch + 1,
+            "arch": self.config.model,
+            "best_val_part_iou": self.best_val_part_iou,
+            "best_val_part_iou_iter": self.best_val_part_iou_iter,
+            "best_val_shape_iou": self.best_val_shape_iou,
+            "best_val_shape_iou_iter": self.best_val_shape_iou_iter,
+            "best_val_loss": float(self.best_val_loss),
+            "best_val_loss_iter": self.best_val_loss_iter,
+            "best_val_acc": self.best_val_acc,
+            "best_val_acc_iter": self.best_val_acc_iter,
+        }
+
+    def save_checkpoint(self, postfix: Optional[str] = None):
+        save_checkpoint(
+            self.config.log_dir, self.config.model, self._tree_state(),
+            self._host_state(), config=self.config.to_dict(), postfix=postfix,
+            overwrite=self.config.overwrite_weights)
+
+    def _save_best_checkpoints(self, val_loss, val_score, val_part_iou,
+                               val_shape_iou):
+        """`trainer_csn.py:330-346`."""
+        if val_part_iou > self.best_val_part_iou:
+            self.best_val_part_iou = val_part_iou
+            self.best_val_part_iou_iter = self.curr_iter
+            self.save_checkpoint(postfix="best_part_iou")
+        if val_shape_iou > self.best_val_shape_iou:
+            self.best_val_shape_iou = val_shape_iou
+            self.best_val_shape_iou_iter = self.curr_iter
+            self.save_checkpoint(postfix="best_shape_iou")
+        if val_loss < self.best_val_loss:
+            self.best_val_loss = val_loss
+            self.best_val_loss_iter = self.curr_iter
+            self.save_checkpoint(postfix="best_loss")
+        if val_score > self.best_val_acc:
+            self.best_val_acc = val_score
+            self.best_val_acc_iter = self.curr_iter
+            self.save_checkpoint(postfix="best_acc")
+
+    def _load_tree(self, path: str, load_optimizer: bool):
+        tree, host = load_checkpoint(path, self._tree_state())
+        self.params = tree["params"]
+        self.batch_stats = tree["batch_stats"]
+        if load_optimizer:
+            self.opt_state = tree["opt_state"]
+        return host
+
+    def resume(self):
+        """`trainer_csn.py:348-387`."""
+        path = osp.join(self.config.resume, "weights.msgpack")
+        if not osp.isfile(path):
+            raise ValueError(f"=> no checkpoint found at '{path}'")
+        host = self._load_tree(path, self.config.resume_optimizer)
+        self.curr_iter = host["iteration"] + 1
+        self.epoch = host["epoch"]
+        for k in ("best_val_part_iou", "best_val_shape_iou", "best_val_loss",
+                  "best_val_acc"):
+            if k in host:
+                setattr(self, k, host[k])
+                setattr(self, k + "_iter", host.get(k + "_iter", 0))
+        logging.info("=> Loaded checkpoint '%s' (epoch %d)", path,
+                     host["epoch"])
+        return host
+
+
+class SegTrainer(BaseTrainer):
+    """`lib/trainer_seg.py`: plain per-epoch loop, validate, best ckpts,
+    scheduler step."""
+
+    def train(self):
+        if self.params is None:
+            self.initialize()
+        if self.config.scheduler == "ReduceLROnPlateau":
+            self.plateau = ReduceLROnPlateau(
+                lr=self.config.lr, factor=self.lr_factor, patience=10,
+                cooldown=10)
+        if self.config.resume:
+            self.resume()
+        logging.info("===> Start training")
+        self._log_params()
+        while self.is_training:
+            for _ in range(self.data_len):
+                self._train_iter()
+                if (self.curr_iter % self.config.stat_freq == 0
+                        or self.curr_iter == 1):
+                    self._log_stats()
+                self.curr_iter += 1
+            if self.epoch >= self.config.max_epoch:
+                self.is_training = False
+                break
+            self.save_checkpoint()
+            val = self.validate()
+            self._save_best_checkpoints(*val)
+            if self.config.scheduler == "ReduceLROnPlateau":
+                self.plateau.step(val[0])
+            if (self.config.save_param_histogram
+                    and self.epoch % self.config.param_histogram_freq == 0):
+                self._log_params()
+            self.losses.reset()
+            self.scores.reset()
+            self.epoch += 1
+        val = self.validate()
+        self.save_checkpoint()
+        self._save_best_checkpoints(*val)
+        return val
+
+
+class CSNTrainer(BaseTrainer):
+    """`lib/trainer_csn.py`: CSN training with the shape-graph state machine."""
+
+    MAX_PATIENCE, MAX_COOLDOWN, MAX_GRAPH_CONSTRUCTION = 10, 5, 3
+
+    def __init__(self, model, config: Config, spec: PyramidSpec,
+                 train_dataset, val_dataset, num_labels: int):
+        super().__init__(model, config, spec, train_dataset, val_dataset,
+                         num_labels)
+        self.patience = self.MAX_PATIENCE
+        self.cooldown = self.MAX_COOLDOWN
+        self.n_graph_construction = 0
+        self._ssa_step = jax.jit(self._make_ssa_step())
+
+    def _uses_keys(self) -> bool:
+        return True
+
+    def _apply_model(self, variables, qb, keys, train, mutable, rngs):
+        if mutable:
+            return self.model.apply(variables, qb, keys, train=train,
+                                    mutable=mutable, rngs=rngs)
+        return self.model.apply(variables, qb, keys, train=train)
+
+    def _make_ssa_step(self):
+        def ssa_step(params, batch_stats, qb):
+            return self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, qb,
+                train=False, return_ssa=True)
+
+        return ssa_step
+
+    def _fetch_keys_for_init(self, qb, idxs):
+        return tuple(qb for _ in range(self.K)) if self.K > 0 else ()
+
+    def _fetch_keys(self, key_dataset, idxs, augment):
+        """`lib/csn_utils.py:114-130` get_neighbors: for each of the K slots,
+        one batch of the idx-th neighbor of every query shape."""
+        if self.K <= 0:
+            return ()
+        keys = []
+        for i in range(self.K):
+            nbr_idxs = [self.train_dataset.neighbors[idx][1][i]
+                        for idx in idxs]
+            kb = build_batch_from_dataset(self.train_dataset, nbr_idxs,
+                                          self.spec, self.rng,
+                                          augment=augment)
+            keys.append(kb.to_jax())
+        return tuple(keys)
+
+    def _fetch_eval_keys(self, dataset, idxs):
+        if self.K <= 0:
+            return ()
+        keys = []
+        for i in range(self.K):
+            nbr_idxs = [dataset.neighbors[idx][1][i] for idx in idxs]
+            kb = build_batch_from_dataset(self.train_dataset, nbr_idxs,
+                                          self.spec, self.rng, augment=False)
+            keys.append(kb.to_jax())
+        return tuple(keys)
+
+    # -- shape graph ----------------------------------------------------------
+    def _all_ssa_descriptors(self, dataset):
+        """Batched SSA features for every shape (augmentations disabled, like
+        `csn_utils.py:26-27`). Returns (feats [N, L0, d] fp16, masks [N, L0])."""
+        bs = self.config.batch_size
+        n = len(dataset)
+        feats_out, masks_out = [], []
+        for start in range(0, n, bs):
+            idxs = list(range(start, min(start + bs, n)))
+            valid = len(idxs)
+            while len(idxs) < bs:
+                idxs.append(idxs[-1])
+            qb_host = build_batch_from_dataset(dataset, idxs, self.spec,
+                                               self.rng, augment=False)
+            qb = qb_host.to_jax()
+            ssa = np.asarray(self._ssa_step(self.params, self.batch_stats, qb))
+            feats_out.append(ssa[:valid].astype(np.float16))
+            masks_out.append(np.asarray(qb_host.masks[0])[:valid])
+        return np.concatenate(feats_out), np.concatenate(masks_out)
+
+    def construct_shape_graph(self, recalculate: bool):
+        """`trainer_csn.py:262-282` + `csn_utils.py:11-111`: random pairs on
+        first construction, SSA cosine retrieval on rebuilds. Train neighbors
+        come from the train set (self-excluded); val neighbors from the train
+        set."""
+        K = self.config.k_neighbors
+        if not recalculate:
+            logging.info("===> Get random pairs")
+            self.train_dataset.neighbors = retrieval.random_pairs(
+                len(self.train_dataset), len(self.train_dataset), K,
+                is_same=True, rng=self.rng)
+            self.val_dataset.neighbors = retrieval.random_pairs(
+                len(self.val_dataset), len(self.train_dataset), K,
+                is_same=False, rng=self.rng)
+        else:
+            logging.info("===> Get pairs based on cosine similarity (SSA)")
+            tr_feats, tr_masks = self._all_ssa_descriptors(self.train_dataset)
+            measure = retrieval.retrieval_measure(tr_feats, tr_masks,
+                                                  tr_feats, tr_masks)
+            self.train_dataset.neighbors = retrieval.knn_graph_from_measure(
+                measure, K, is_same=True)
+            va_feats, va_masks = self._all_ssa_descriptors(self.val_dataset)
+            measure = retrieval.retrieval_measure(va_feats, va_masks,
+                                                  tr_feats, tr_masks)
+            self.val_dataset.neighbors = retrieval.knn_graph_from_measure(
+                measure, K, is_same=False)
+        # Log sample point clouds (`csn_utils.py:99-109`).
+        for idx in range(min(2, len(self.train_dataset))):
+            pc = self.train_dataset.coords[idx]
+            self.writer.add_mesh(f"training/query_pc_{idx}", pc[None, ...],
+                                 self.n_graph_construction)
+
+    # -- checkpoint extensions ------------------------------------------------
+    def _host_state(self):
+        st = super()._host_state()
+        if self.config.k_neighbors > 0:
+            st["csn_data"] = {
+                "patience": self.patience,
+                "cooldown": self.cooldown,
+                "n_graph_construction": self.n_graph_construction,
+                "train_neighbors": [list(x) if not isinstance(x[1], list)
+                                    else [x[0], x[1]]
+                                    for x in self.train_dataset.neighbors],
+                "val_neighbors": [[x[0], x[1]]
+                                  for x in self.val_dataset.neighbors],
+            }
+        return st
+
+    def resume(self):
+        host = super().resume()
+        if "csn_data" in host:
+            cd = host["csn_data"]
+            self.patience = cd["patience"]
+            self.cooldown = cd["cooldown"]
+            self.n_graph_construction = cd["n_graph_construction"]
+            self.train_dataset.neighbors = [
+                (int(a), list(b)) for a, b in cd["train_neighbors"]]
+            self.val_dataset.neighbors = [
+                (int(a), list(b)) for a, b in cd["val_neighbors"]]
+            logging.info("===> Patience=%d, Cooldown=%d, #Graph construction=%d",
+                         self.patience, self.cooldown,
+                         self.n_graph_construction)
+        return host
+
+    # -- main loop ------------------------------------------------------------
+    def train(self):
+        """`trainer_csn.py:54-186`."""
+        if self.params is None:
+            self.initialize()
+        if self.config.scheduler == "ReduceLROnPlateau":
+            self.plateau = ReduceLROnPlateau(
+                lr=self.config.lr, factor=self.lr_factor,
+                patience=self.MAX_PATIENCE, cooldown=self.MAX_COOLDOWN * 2)
+        logging.info("===> Start training")
+
+        if self.config.resume:
+            self.resume()
+            if self.config.k_neighbors > 0 and self.patience <= 0:
+                self.construct_shape_graph(recalculate=True)
+                self.n_graph_construction += 1
+                self.patience = self.MAX_PATIENCE
+                self.cooldown = self.MAX_COOLDOWN
+
+        self._log_params()
+
+        if self.config.k_neighbors > 0 and not self.config.resume:
+            self.construct_shape_graph(recalculate=False)
+            self.n_graph_construction += 1
+
+        while self.is_training:
+            for _ in range(self.data_len):
+                self._train_iter()
+                if (self.curr_iter % self.config.stat_freq == 0
+                        or self.curr_iter == 1):
+                    self._log_stats()
+                self.curr_iter += 1
+
+            if self.epoch >= self.config.max_epoch:
+                self.is_training = False
+                break
+
+            self.save_checkpoint()
+            self.cooldown -= 1
+            val_loss, val_score, val_part_iou, val_shape_iou = self.validate()
+            if val_part_iou > self.best_val_part_iou:
+                self.patience = self.MAX_PATIENCE
+            elif (self.config.k_neighbors > 0
+                    and self.n_graph_construction
+                    < self.MAX_GRAPH_CONSTRUCTION):
+                if self.cooldown <= 0:
+                    self.cooldown = 0
+                    self.patience -= 1
+                    logging.info(
+                        "=====> (Iteration:%d) Patience running out "
+                        "(patience:%d)", self.curr_iter, self.patience)
+                else:
+                    logging.info("=====> (Iteration:%d) Getting hotter "
+                                 "(cooldown:%d)", self.curr_iter, self.cooldown)
+            self._save_best_checkpoints(val_loss, val_score, val_part_iou,
+                                        val_shape_iou)
+
+            if self.config.k_neighbors > 0 and self.patience <= 0:
+                # reload best-part-IoU weights, rebuild graph, reset
+                # (`trainer_csn.py:136-158`)
+                ckpt = osp.join(
+                    self.config.log_dir,
+                    f"checkpoint_{self.config.model}best_part_iou.msgpack")
+                logging.info("=====> Loading checkpoint '%s'", ckpt)
+                self._load_tree(ckpt, load_optimizer=False)
+                if self.config.resume_optimizer:
+                    self.opt_state = self.optimizer.init(self.params)
+                    if hasattr(self, "plateau"):
+                        self.plateau = ReduceLROnPlateau(
+                            lr=self.config.lr, factor=self.lr_factor,
+                            patience=self.MAX_PATIENCE,
+                            cooldown=self.MAX_COOLDOWN * 2)
+                self.construct_shape_graph(recalculate=True)
+                self.n_graph_construction += 1
+                self.patience = self.MAX_PATIENCE
+                self.cooldown = self.MAX_COOLDOWN
+                self.save_checkpoint()
+
+            if self.config.scheduler == "ReduceLROnPlateau":
+                self.plateau.step(val_loss)
+            if (self.config.save_param_histogram
+                    and self.epoch % self.config.param_histogram_freq == 0):
+                self._log_params()
+            self.losses.reset()
+            self.scores.reset()
+            self.epoch += 1
+
+        val = self.validate()
+        self.save_checkpoint()
+        self._save_best_checkpoints(*val)
+        self._log_params()
+        return val
+
+    def construct_test_graph(self, test_dataset):
+        """Eval-time graph: test neighbors always retrieved from the TRAIN
+        collection (`tasks/main_csn.py:121-141`)."""
+        tr_feats, tr_masks = self._all_ssa_descriptors(self.train_dataset)
+        te_feats, te_masks = self._all_ssa_descriptors(test_dataset)
+        measure = retrieval.retrieval_measure(te_feats, te_masks, tr_feats,
+                                              tr_masks)
+        test_dataset.neighbors = retrieval.knn_graph_from_measure(
+            measure, self.config.k_neighbors, is_same=False)

@@ -1,0 +1,205 @@
+"""MID-FC branch tests: torch-checkpoint parity (golden oracle implemented in
+torch here, mirroring the reference math), data padding, training smoke."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn
+import torch.nn.functional as tF
+
+
+class TorchCrossShapeAt(tnn.Module):
+    """Independent torch oracle of the reference head semantics
+    (`MID-FC/csa_models.py:37-242`): chunked post-norm MHA (d_k=d_v=d_model),
+    no-bias logit conv, biased compatibility linears, cosine softmax."""
+
+    def __init__(self, num_classes, d_model, n_heads, chunk, csa=False):
+        super().__init__()
+        self.d_model, self.n_heads, self.chunk = d_model, n_heads, chunk
+        self.csa = csa
+        dk = d_model
+        self.attention = tnn.ModuleDict({})
+        self.w_qs = tnn.Linear(d_model, n_heads * dk, bias=False)
+        self.w_ks = tnn.Linear(d_model, n_heads * dk, bias=False)
+        self.w_vs = tnn.Linear(d_model, n_heads * dk, bias=False)
+        self.fc = tnn.Linear(n_heads * dk, d_model, bias=False)
+        self.norm = tnn.LayerNorm(d_model, eps=1e-6)
+        self.logit = tnn.Linear(d_model, num_classes, bias=False)
+        if csa:
+            self.compatibility_q = tnn.Linear(d_model, d_model)
+            self.compatibility_k = tnn.Linear(d_model, d_model)
+
+    def mha_chunked(self, q, k, v):
+        b, p, d = q.shape
+        n = p // self.chunk
+        outs = []
+        for i in range(n):
+            sl = slice(i * self.chunk, (i + 1) * self.chunk)
+            outs.append(self.mha(q[:, sl], k[:, sl], v[:, sl]))
+        return torch.cat(outs, dim=1)
+
+    def mha(self, q, k, v):
+        b, lq, d = q.shape
+        h, dk = self.n_heads, self.d_model
+        residual = q
+        qh = self.w_qs(q).view(b, lq, h, dk).transpose(1, 2)
+        kh = self.w_ks(k).view(b, lq, h, dk).transpose(1, 2)
+        vh = self.w_vs(v).view(b, lq, h, dk).transpose(1, 2)
+        attn = torch.softmax(qh @ kh.transpose(2, 3) / dk ** 0.5, dim=-1)
+        out = (attn @ vh).transpose(1, 2).contiguous().view(b, lq, h * dk)
+        return self.norm(self.fc(out) + residual)
+
+    def forward(self, x, neighbors=None):
+        if not self.csa:
+            return self.logit(self.mha_chunked(x, x, x))
+        kp1 = neighbors.shape[1]
+        y_q = self.mha_chunked(x, x, x).mean(dim=1)
+        pools = [y_q]
+        for kk in range(1, kp1):
+            xk = neighbors[:, kk]
+            pools.append(self.mha_chunked(xk, xk, xk).mean(dim=1))
+        u_q = tF.normalize(self.compatibility_q(y_q), dim=-1)
+        u_k = tF.normalize(self.compatibility_k(torch.stack(pools, dim=1)),
+                           dim=-1)
+        comp = torch.softmax(
+            torch.einsum("bd,bkd->bk", u_q, u_k), dim=-1)
+        csa = comp[:, 0, None, None] * self.mha_chunked(x, x, x)
+        for kk in range(1, kp1):
+            xk = neighbors[:, kk]
+            csa = csa + comp[:, kk, None, None] * self.mha_chunked(x, xk, xk)
+        return self.logit(csa)
+
+    def reference_state_dict(self):
+        """Rename to the reference on-disk naming for the converter."""
+        sd = {}
+        sd["attention.w_qs.weight"] = self.w_qs.weight.detach()
+        sd["attention.w_ks.weight"] = self.w_ks.weight.detach()
+        sd["attention.w_vs.weight"] = self.w_vs.weight.detach()
+        sd["attention.fc.weight"] = self.fc.weight.detach()
+        sd["attention.norm.weight"] = self.norm.weight.detach()
+        sd["attention.norm.bias"] = self.norm.bias.detach()
+        sd["logit.weight"] = self.logit.weight.detach()[:, :, None, None]
+        if self.csa:
+            sd["compatibility_q.weight"] = self.compatibility_q.weight.detach()
+            sd["compatibility_q.bias"] = self.compatibility_q.bias.detach()
+            sd["compatibility_k.weight"] = self.compatibility_k.weight.detach()
+            sd["compatibility_k.bias"] = self.compatibility_k.bias.detach()
+        return {k: v.numpy() for k, v in sd.items()}
+
+
+def build_jax_model(attention_type, num_classes, d_model, n_heads, chunk, K=0):
+    from csn_tpu.midfc.model import CrossShapeAt
+
+    return CrossShapeAt(num_classes=num_classes, d_model=d_model,
+                        n_heads=n_heads, K=K, d_k=d_model, d_v=d_model,
+                        attention_type=attention_type, after_fc=True,
+                        chunk_size=chunk)
+
+
+def test_ssa_torch_checkpoint_parity():
+    from csn_tpu.midfc.convert import convert_state_dict
+
+    torch.manual_seed(0)
+    B, P, D, C, H, CH = 2, 40, 16, 5, 2, 20
+    tm = TorchCrossShapeAt(C, D, H, CH).eval()
+    x = torch.randn(B, P, D)
+    with torch.no_grad():
+        ref = tm(x).numpy()
+
+    params, _ = convert_state_dict(tm.reference_state_dict())
+    model = build_jax_model("ssa", C, D, H, CH)
+    out = model.apply({"params": params}, jnp.asarray(x.numpy()), train=False)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_csa_torch_checkpoint_parity():
+    from csn_tpu.midfc.convert import convert_state_dict
+
+    torch.manual_seed(1)
+    B, P, D, C, H, CH, K = 1, 40, 16, 5, 2, 20, 2
+    tm = TorchCrossShapeAt(C, D, H, CH, csa=True).eval()
+    x = torch.randn(B, P, D)
+    nb = torch.randn(B, K + 1, P, D)
+    nb[:, 0] = x
+    with torch.no_grad():
+        ref = tm(x, nb).numpy()
+
+    params, _ = convert_state_dict(tm.reference_state_dict())
+    model = build_jax_model("csa", C, D, H, CH, K=K)
+    out = model.apply({"params": params}, jnp.asarray(x.numpy()),
+                      jnp.asarray(nb.numpy()), train=False)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-4, atol=3e-4)
+
+
+@pytest.fixture(scope="module")
+def midfc_roots(tmp_path_factory):
+    from csn_tpu.midfc.data import write_synthetic_midfc
+
+    root = tmp_path_factory.mktemp("midfc")
+    tr = write_synthetic_midfc(str(root / "train"), n_shapes=6, num_points=40,
+                               channels=16, num_classes=5, seed=0)
+    te = write_synthetic_midfc(str(root / "test"), n_shapes=4, num_points=40,
+                               channels=16, num_classes=5, seed=1)
+    return tr, te
+
+
+def test_features_dataset_padding(midfc_roots):
+    from csn_tpu.midfc.data import FeaturesDataset
+
+    ds = FeaturesDataset(midfc_roots[0], num_points=40)
+    feats, label = ds[1]  # shape with 35 points, padded by prefix repetition
+    assert feats.shape == (40, 16) and label.shape == (40,)
+    np.testing.assert_array_equal(feats[35:], feats[:5])
+    np.testing.assert_array_equal(label[35:], label[:5])
+
+
+def test_ssa_training_smoke(midfc_roots, tmp_path):
+    from csn_tpu.midfc.data import FeaturesDataset
+    from csn_tpu.midfc.training import MidfcConfig, train_ssa
+
+    tr, te = midfc_roots
+    cfg = MidfcConfig(logs_dir=str(tmp_path / "ssa"), partname="Bed",
+                      num_classes=5, n_heads=2, batch_size=2, epochs=2,
+                      gradient_accumulation_steps=2, chunk_size=20,
+                      num_points=40)
+    best, path = train_ssa(cfg, FeaturesDataset(tr, 40),
+                           FeaturesDataset(te, 40))
+    assert os.path.exists(path)
+    assert 0.0 <= best <= 1.0
+    assert os.path.exists(os.path.join(cfg.logs_dir, "test_summaries.csv"))
+
+
+def test_csa_training_two_phase(midfc_roots, tmp_path):
+    from csn_tpu.midfc.data import FeaturesDataset
+    from csn_tpu.midfc.training import (
+        MidfcConfig, MidfcRunner, compute_knn_graphs, save_knn_graphs,
+        train_csa,
+    )
+
+    tr, te = midfc_roots
+    cfg = MidfcConfig(logs_dir=str(tmp_path / "csa"), partname="Bed",
+                      num_classes=5, n_heads=2, K=1, batch_size=1,
+                      weight_decay=5e-4, gradient_accumulation_steps=2,
+                      chunk_size=20, num_points=40, testing=True)
+    # initial graphs from an untrained runner (stand-in for precomputed ones)
+    runner = MidfcRunner(cfg, "ssa")
+    tr_ds, te_ds = FeaturesDataset(tr, 40), FeaturesDataset(te, 40)
+    f0, _, _ = next(iter(tr_ds.batches(cfg.batch_size)))
+    runner.initialize(f0)
+    out_dir = save_knn_graphs(runner, tr_ds, te_ds, cfg.K, "Bed",
+                              logs_root=str(tmp_path))
+    tr_graph = np.load(os.path.join(out_dir, "train.npy"))
+    te_graph = np.load(os.path.join(out_dir, "test.npy"))
+    assert tr_graph.shape == (6, cfg.K + 1)
+    assert te_graph.shape == (4, cfg.K + 1)
+    # train-graph top-1 by mean-of-max cosine vs itself is itself
+    assert np.all(tr_graph[:, 0] == np.arange(6))
+
+    best, path = train_csa(cfg, tr, te, tr_graph, te_graph)
+    assert os.path.exists(path)
