@@ -1,0 +1,156 @@
+"""Headline benchmark: CSN (HRNetSimCSN3S, K=1) training throughput on TPU.
+
+Protocol mirrors the reference's flagship config (BASELINE.md): PartNet-style
+shapes with 10k points, voxel size 0.05, effective batch 8, SGD — one training
+step = forward(query batch + 1 retrieved-key batch) + SSA/CSA attention +
+backward + update. Shapes are synthetic surface samples (sphere shells) so
+voxel occupancy (~3-4.5k voxels/shape) matches real PartNet scans.
+
+Prints ONE JSON line:
+  {"metric": "csn_train_throughput", "value": <queries/sec>,
+   "unit": "shapes/sec", "vs_baseline": <value / 10.0>}
+
+vs_baseline: the reference publishes no throughput (BASELINE.md §Throughput).
+Baseline estimate: V100 + MinkowskiEngine HRNet3S, effective batch 8, K=1 —
+two sparse-HRNet forwards + per-batch-element attention loops + backward;
+comparable ME workloads run 0.7-1.0 s/iter on V100, i.e. ~8-11 query
+shapes/sec. We use 10.0 shapes/sec as the baseline denominator, so
+vs_baseline >= 2.0 meets the >=2x-V100 north star.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+V100_BASELINE_SHAPES_PER_SEC = 10.0
+
+
+def make_surface_shape(rng, n_points=10000):
+    """Points on a few spherical/planar patches -> surface-like occupancy."""
+    pts = []
+    n_left = n_points
+    for _ in range(rng.integers(2, 5)):
+        n = min(int(rng.integers(n_points // 4, n_points // 2)), n_left)
+        if n <= 0:
+            break
+        kind = rng.integers(0, 2)
+        if kind == 0:  # sphere shell patch
+            v = rng.normal(size=(n, 3))
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            r = rng.uniform(0.4, 1.0)
+            c = rng.uniform(-0.2, 0.2, size=3)
+            pts.append(v * r + c)
+        else:  # planar patch
+            a = rng.uniform(-1, 1, size=(n, 2))
+            z = np.full((n, 1), rng.uniform(-0.8, 0.8))
+            p = np.concatenate([a, z], axis=1)
+            perm = rng.permutation(3)
+            pts.append(p[:, perm])
+        n_left -= n
+    if n_left > 0:
+        v = rng.normal(size=(n_left, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        pts.append(v)
+    coords = np.concatenate(pts)[:n_points].astype(np.float32)
+    labels = ((coords[:, 0] > 0).astype(np.int32)
+              + 2 * (coords[:, 1] > 0).astype(np.int32)) + 1
+    return coords, coords.copy(), labels
+
+
+def main():
+    import jax
+
+    from csn_tpu.core.interp import interpolate_to_points
+    from csn_tpu.data.pipeline import collate_shapes, pyramid_spec_for_model
+    from csn_tpu.models import load_model
+    from csn_tpu.train.losses import cross_entropy_ignore
+    from csn_tpu.train.optim import make_optimizer
+
+    B, P, VOXEL, K = 8, 10000, 0.05, 1
+    NUM_CLASSES = 39  # Chair
+    rng = np.random.default_rng(0)
+
+    cls = load_model("HRNetSimCSN3S")
+    model = cls(out_channels=NUM_CLASSES, conv1_kernel_size=5, d_model=256,
+                n_head=4, k_neighbors=K)
+    spec = pyramid_spec_for_model(cls, num_points=P, voxel_size=VOXEL,
+                                  conv1_kernel_size=5, level0_cap=5120,
+                                  shrink=3.0)
+
+    t0 = time.time()
+    qb_host = collate_shapes([make_surface_shape(rng, P) for _ in range(B)],
+                             spec, rng=rng)
+    kb_host = collate_shapes([make_surface_shape(rng, P) for _ in range(B)],
+                             spec, rng=rng)
+    host_build_s = time.time() - t0
+    occ = [int(n) for n in qb_host.num_voxels[0]]
+    print(f"[bench] host batch build: {host_build_s:.2f}s for 2x{B} shapes; "
+          f"voxels/shape: min={min(occ)} max={max(occ)}", file=sys.stderr)
+
+    qb, kb = qb_host.to_jax(), kb_host.to_jax()
+
+    variables = jax.jit(
+        lambda r, b, ks: model.init(r, b, ks, train=False))(
+        jax.random.PRNGKey(0), qb, (kb,))
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    optimizer = make_optimizer(optimizer="SGD", lr=0.05)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def train_step(params, stats, opt_state, qb, kb, rng):
+        def loss_fn(p):
+            out, new_vars = model.apply(
+                {"params": p, "batch_stats": stats}, qb, (kb,), train=True,
+                mutable=["batch_stats"], rngs={"dropout": rng})
+            pl = interpolate_to_points(out, qb.interp_idx, qb.interp_w)
+            loss = cross_entropy_ignore(pl, qb.labels, 255, qb.point_mask)
+            return loss, new_vars["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        new_params = jax.tree_util.tree_map(lambda p, u: p + u, params,
+                                            updates)
+        return new_params, new_stats, new_opt, loss
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    params, stats, opt_state, loss = train_step(params, stats, opt_state, qb,
+                                                kb, key)
+    loss.block_until_ready()
+    print(f"[bench] compile+first step: {time.time() - t0:.1f}s "
+          f"loss={float(loss):.3f}", file=sys.stderr)
+
+    for i in range(2):  # warmup
+        key, sub = jax.random.split(key)
+        params, stats, opt_state, loss = train_step(params, stats, opt_state,
+                                                    qb, kb, sub)
+    loss.block_until_ready()
+
+    iters = 10
+    t0 = time.time()
+    for i in range(iters):
+        key, sub = jax.random.split(key)
+        params, stats, opt_state, loss = train_step(params, stats, opt_state,
+                                                    qb, kb, sub)
+    loss.block_until_ready()
+    dt = (time.time() - t0) / iters
+    throughput = B / dt
+    print(f"[bench] steady-state: {dt * 1e3:.1f} ms/step "
+          f"({throughput:.2f} query shapes/sec; K={K})", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "csn_train_throughput",
+        "value": round(throughput, 3),
+        "unit": "shapes/sec",
+        "vs_baseline": round(throughput / V100_BASELINE_SHAPES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

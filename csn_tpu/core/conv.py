@@ -9,11 +9,26 @@ the flattened `[N_in]` source axis, with sentinel `N_in` for "no neighbor".
 Gathers use out-of-bounds fill so sentinels contribute zeros; each offset's
 gathered block hits the MXU as a single `[N_out, Cin] @ [Cin, Cout]` matmul.
 
+Performance-critical design (measured on TPU v5e, scripts/microbench.py):
+
+* Backward pass NEVER scatters. Given the *transpose* kernel map (the up map
+  for a down conv, the same table with mirrored offsets for a same-level
+  conv), d_feats is itself a sparse convolution with transposed weights —
+  a gather, which TPUs do ~5-20x faster than scatter-add.
+* When Cin < Cout (the k=5 stem conv: 3->32 with 125 offsets), rows are
+  transformed *before* the gather (gather [N, Cout] rows instead of tiny
+  [N, 3] rows) — HBM reads are row-granular, so wider rows amortize the
+  transaction overhead.
+* Gathered blocks are rematerialized in backward instead of stored
+  (`jax.checkpoint` on the offset scan).
+
 `same`, `down` (strided) and `up` (transposed) convolutions all reduce to this
 one primitive — only the kernel map differs (see core/pyramid.py).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -24,35 +39,112 @@ def _gather_rows(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return feats.at[idx].get(mode="fill", fill_value=0)
 
 
+def _conv_impl(feats, kmap, weights, accum_dtype=jnp.float32):
+    """out[i] = sum_k W[k]^T-applied neighbor rows. Chooses gather-then-
+    transform or transform-then-gather based on channel widths."""
+    n_out = kmap.shape[1]
+    cin = feats.shape[-1]
+    cout = weights.shape[-1]
+
+    if cin < cout and cin < 16:
+        # transform first: h[k] = feats @ W[k]  (cheap: small cin), then
+        # gather wide rows.
+        def body(carry, inputs):
+            idx, w = inputs
+            h = jnp.dot(feats, w, preferred_element_type=accum_dtype)
+            g = _gather_rows(h, idx)
+            return carry + g, None
+    else:
+        def body(carry, inputs):
+            idx, w = inputs
+            g = _gather_rows(feats, idx)
+            return carry + jnp.dot(g, w, preferred_element_type=accum_dtype), \
+                None
+
+    init = jnp.zeros((n_out, cout), dtype=accum_dtype)
+    out, _ = jax.lax.scan(jax.checkpoint(body), init, (kmap, weights))
+    return out.astype(feats.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def sparse_conv_tvjp(feats, weights, kmap, kmap_t, mirror: bool):
+    """Sparse conv with an all-gather backward.
+
+    Args:
+      feats:   [N_in, Cin]
+      weights: [K, Cin, Cout]
+      kmap:    [K, N_out] forward neighbor table (sentinel N_in).
+      kmap_t:  [K, N_in] transpose table (sentinel N_out): for offset k,
+               kmap_t[k][j] = i  <=>  kmap[k][i] = j. For same-level odd
+               kernels pass kmap itself with mirror=True (offset o's
+               transpose edges live at offset -o = reversed product order).
+      mirror:  pair d_out rows of offset k' with W[K-1-k'] (same-level maps).
+    """
+    return _conv_impl(feats, kmap, weights)
+
+
+def _tvjp_fwd(feats, weights, kmap, kmap_t, mirror):
+    out = _conv_impl(feats, kmap, weights)
+    return out, (feats, weights, kmap, kmap_t)
+
+
+def _tvjp_bwd(mirror, res, g):
+    feats, weights, kmap, kmap_t = res
+    g = g.astype(jnp.float32)
+    # weight paired with the transpose-map offset k: mirrored for same-level
+    # maps (offset -o lives at index K-1-k in product order), identity for
+    # down/up pairs.
+    w_for_t = weights[::-1] if mirror else weights
+    f32 = feats.astype(jnp.float32)
+
+    # ONE gather per offset serves both gradients:
+    #   gg      = gather(g, kmap_t[k])                  [N_in, Cout]
+    #   d_feats += gg . W_pair[k]^T                     (contract Cout)
+    #   d_W[k]  = feats^T . gg                          (contract N_in)
+    # (dW identity: sum_i f[kmap[k][i]] g[i]^T == f^T gather(g, kmap_t[k]),
+    # because each offset map is a partial permutation.)
+    def body(carry, inputs):
+        idx_t, w = inputs
+        gg = _gather_rows(g, idx_t)  # [N_in, Cout]
+        df_k = jax.lax.dot_general(
+            gg, w.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dw_k = jax.lax.dot_general(
+            f32, gg, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return carry + df_k, dw_k
+
+    df_init = jnp.zeros((feats.shape[0], weights.shape[1]), jnp.float32)
+    d_feats, d_w_t = jax.lax.scan(jax.checkpoint(body), df_init,
+                                  (kmap_t, w_for_t))
+    # d_w_t[k] corresponds to transpose-offset k -> un-mirror for same maps.
+    d_w = d_w_t[::-1] if mirror else d_w_t
+
+    return (d_feats.astype(feats.dtype), d_w.astype(weights.dtype), None,
+            None)
+
+
+sparse_conv_tvjp.defvjp(_tvjp_fwd, _tvjp_bwd)
+
+
 def sparse_conv(
     feats: jnp.ndarray,
     kmap: jnp.ndarray,
     weights: jnp.ndarray,
+    kmap_t: jnp.ndarray = None,
+    mirror: bool = False,
     *,
     accum_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Apply a sparse convolution.
+    """Apply a sparse convolution [N_in, Cin] -> [N_out, Cout].
 
-    Args:
-      feats:   [N_in, Cin] flattened source features (padded rows are zero).
-      kmap:    [K_off, N_out] int32 neighbor table (sentinel = N_in).
-      weights: [K_off, Cin, Cout].
-
-    Returns [N_out, Cout].
+    With `kmap_t` (transpose table), the fast all-gather backward is used;
+    without it, plain autodiff (scatter-add backward) applies.
     """
-    K = kmap.shape[0]
-    n_out = kmap.shape[1]
-    cout = weights.shape[-1]
-
-    def body(carry, inputs):
-        idx, w = inputs
-        g = _gather_rows(feats, idx)  # [N_out, Cin]
-        out = jnp.dot(g, w, preferred_element_type=accum_dtype)
-        return carry + out, None
-
-    init = jnp.zeros((n_out, cout), dtype=accum_dtype)
-    out, _ = jax.lax.scan(body, init, (kmap, weights))
-    return out.astype(feats.dtype)
+    if kmap_t is not None:
+        return sparse_conv_tvjp(feats, weights, kmap, kmap_t, mirror)
+    return _conv_impl(feats, kmap, weights, accum_dtype)
 
 
 def sparse_conv_with_bias(feats, kmap, weights, bias, **kw):

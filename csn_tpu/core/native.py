@@ -1,0 +1,117 @@
+"""ctypes binding for the native host engine (csrc/libcsn_coords.so).
+
+Falls back to the pure-numpy path in core/pyramid.py when the library is not
+built. Build with `make -C csrc` (done automatically on first import if a
+compiler is available)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "csrc")
+_SO = os.path.join(_CSRC, "libcsn_coords.so")
+
+KIND = {"same": 0, "down": 1, "up": 2}
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_SO):
+        try:
+            subprocess.run(["make", "-C", _CSRC], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    if not os.path.exists(_SO):
+        return None
+    lib = ctypes.CDLL(_SO)
+    lib.csn_shape_create.restype = ctypes.c_void_p
+    lib.csn_shape_create.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32]
+    lib.csn_shape_num_voxels.restype = ctypes.c_int64
+    lib.csn_shape_num_voxels.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.csn_shape_coords.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64]
+    lib.csn_shape_p2v.argtypes = [ctypes.c_void_p,
+                                  ctypes.POINTER(ctypes.c_int32)]
+    lib.csn_shape_kernel_map.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)]
+    lib.csn_shape_interp.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float)]
+    lib.csn_shape_destroy.argtypes = [ctypes.c_void_p]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class NativeShape:
+    """One shape's coordinate pyramid built in C++."""
+
+    def __init__(self, points: np.ndarray, n_levels: int):
+        lib = _load()
+        assert lib is not None
+        self.lib = lib
+        pts = np.ascontiguousarray(points, dtype=np.float32)
+        self.n_points = pts.shape[0]
+        self.n_levels = n_levels
+        self.handle = lib.csn_shape_create(
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.n_points, n_levels)
+
+    def num_voxels(self, level: int) -> int:
+        return int(self.lib.csn_shape_num_voxels(self.handle, level))
+
+    def coords(self, level: int, cap: int) -> np.ndarray:
+        n = min(self.num_voxels(level), cap)
+        out = np.zeros((max(n, 1), 3), dtype=np.int32)
+        self.lib.csn_shape_coords(
+            self.handle, level,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n)
+        return out[:n]
+
+    def p2v(self) -> np.ndarray:
+        out = np.zeros(self.n_points, dtype=np.int32)
+        self.lib.csn_shape_p2v(
+            self.handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out
+
+    def kernel_map(self, kind: str, level: int, ksize: int,
+                   cap_dst: int) -> np.ndarray:
+        K = ksize ** 3
+        out = np.empty((K, cap_dst), dtype=np.int32)
+        self.lib.csn_shape_kernel_map(
+            self.handle, KIND[kind], level, ksize, cap_dst,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out
+
+    def interp(self) -> tuple:
+        idx = np.empty((self.n_points, 8), dtype=np.int32)
+        w = np.empty((self.n_points, 8), dtype=np.float32)
+        self.lib.csn_shape_interp(
+            self.handle, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return idx, w
+
+    def __del__(self):
+        try:
+            self.lib.csn_shape_destroy(self.handle)
+        except Exception:
+            pass

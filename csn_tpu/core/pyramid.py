@@ -284,11 +284,96 @@ def _quantize_one(points: np.ndarray, feats: np.ndarray, qmode: QMode,
     return vox_coords, vox_feats, inv
 
 
+def _shape_tables_numpy(pts: np.ndarray, spec: PyramidSpec) -> dict:
+    """Per-shape coordinate tables (pure numpy): voxel coords per level,
+    local kernel maps (-1 = missing), interp corners, point->voxel map."""
+    nl = spec.num_levels
+    ic = np.floor(pts).astype(np.int64)
+    mins = ic.min(axis=0) - 1
+    dims = ic.max(axis=0) + 2 - mins
+    keys = _pack_keys(ic, mins, dims)
+    uniq_keys, inv = np.unique(keys, return_inverse=True)
+    n = uniq_keys.shape[0]
+    order = np.argsort(inv, kind="stable")
+    inv_sorted = inv[order]
+    boundary = np.ones(inv_sorted.shape[0], dtype=bool)
+    boundary[1:] = inv_sorted[1:] != inv_sorted[:-1]
+    first_idx = np.empty(n, dtype=np.int64)
+    first_idx[inv_sorted[boundary]] = order[boundary]
+    vc = ic[first_idx]
+
+    coords = [vc]
+    indices = [_LevelIndex(vc)]
+    prev = vc
+    for l in range(1, nl):
+        s2 = 2 ** l
+        down = np.floor_divide(prev, s2) * s2
+        uniq = np.unique(down, axis=0)
+        coords.append(uniq)
+        indices.append(_LevelIndex(uniq))
+        prev = uniq
+
+    kmaps = {}
+    for m in spec.maps:
+        if m.kind == "same":
+            src_l, dst_l, sign = m.level, m.level, +1
+        elif m.kind == "down":
+            src_l, dst_l, sign = m.level, m.level + 1, +1
+        else:
+            src_l, dst_l, sign = m.level + 1, m.level, -1
+        offs = m.offsets()
+        out_c = coords[dst_l][: spec.level_caps[dst_l]]
+        nk = offs.shape[0]
+        table = np.full((nk, spec.level_caps[dst_l]), -1, dtype=np.int32)
+        if out_c.shape[0]:
+            for k in range(nk):
+                hit = indices[src_l].lookup(out_c + sign * offs[k][None, :])
+                table[k, : out_c.shape[0]] = hit.astype(np.int32)
+        kmaps[m.name] = table
+
+    base = np.floor(pts).astype(np.int64)
+    frac = pts - base
+    p = pts.shape[0]
+    interp_idx = np.full((p, 8), -1, dtype=np.int32)
+    interp_w = np.zeros((p, 8), dtype=np.float32)
+    corner_offs = np.array(list(itertools.product([0, 1], repeat=3)),
+                           dtype=np.int64)
+    for k in range(8):
+        off = corner_offs[k]
+        hit = indices[0].lookup(base + off[None, :])
+        w = np.prod(np.where(off[None, :] == 1, frac, 1.0 - frac),
+                    axis=1).astype(np.float32)
+        interp_idx[:, k] = hit.astype(np.int32)
+        interp_w[:, k] = np.where(hit >= 0, w, 0.0)
+
+    return {"coords": coords, "kmaps": kmaps, "interp_idx": interp_idx,
+            "interp_w": interp_w, "p2v": inv.astype(np.int32)}
+
+
+def _shape_tables_native(pts: np.ndarray, spec: PyramidSpec) -> dict:
+    """Same tables via the C++ engine (csrc/coords.cpp)."""
+    from csn_tpu.core import native
+
+    nl = spec.num_levels
+    sh = native.NativeShape(pts.astype(np.float32), nl)
+    coords = [sh.coords(l, spec.level_caps[l] + 10 ** 9)
+              for l in range(nl)]
+    kmaps = {}
+    for m in spec.maps:
+        dst_l = m.level + 1 if m.kind == "down" else m.level
+        kmaps[m.name] = sh.kernel_map(m.kind, m.level, m.ksize,
+                                      spec.level_caps[dst_l])
+    interp_idx, interp_w = sh.interp()
+    return {"coords": coords, "kmaps": kmaps, "interp_idx": interp_idx,
+            "interp_w": interp_w, "p2v": sh.p2v()}
+
+
 def build_voxel_batch(
     shapes: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
     spec: PyramidSpec,
     rng: Optional[np.random.Generator] = None,
     ignore_label: int = 255,
+    use_native: Optional[bool] = None,
 ) -> VoxelBatch:
     """Build a static-shape VoxelBatch from a list of shapes.
 
@@ -309,122 +394,96 @@ def build_voxel_batch(
     labels = np.full((B, P), ignore_label, dtype=np.int32)
     point_mask = np.zeros((B, P), dtype=bool)
 
-    coords = [np.zeros((B, spec.level_caps[l], 3), dtype=np.int32) for l in range(nl)]
+    coords = [np.zeros((B, spec.level_caps[l], 3), dtype=np.int32)
+              for l in range(nl)]
     masks = [np.zeros((B, spec.level_caps[l]), dtype=bool) for l in range(nl)]
     vox_feats = np.zeros((B, spec.level_caps[0], cf), dtype=np.float32)
     num_voxels = [np.zeros(B, dtype=np.int32) for _ in range(nl)]
     dropped = [0 for _ in range(nl)]
+    L0 = spec.level_caps[0]
+    point_to_voxel = np.full((B, P), B * L0, dtype=np.int32)
+    interp_idx = np.full((B, P, 8), B * L0, dtype=np.int32)
+    interp_w = np.zeros((B, P, 8), dtype=np.float32)
+    kmaps: Dict[str, np.ndarray] = {}
+    for m in spec.maps:
+        dst_l = m.level + 1 if m.kind == "down" else m.level
+        src_l = m.level + 1 if m.kind == "up" else m.level
+        if dst_l >= nl or src_l >= nl:
+            raise ValueError(
+                f"map {m.name} needs level {max(src_l, dst_l)} but spec has "
+                f"{nl}")
+        Ld, Ls = spec.level_caps[dst_l], spec.level_caps[src_l]
+        kmaps[m.name] = np.full((m.num_offsets, B * Ld), B * Ls,
+                                dtype=np.int32)
 
-    point_to_voxel = np.full((B, P), B * spec.level_caps[0], dtype=np.int32)
+    if use_native is None:
+        try:
+            from csn_tpu.core import native as _native
 
-    # per (b, level) lookup tables
-    indices: List[List[_LevelIndex]] = [[None] * nl for _ in range(B)]
+            use_native = _native.available()
+        except Exception:
+            use_native = False
+    builder = _shape_tables_native if use_native else _shape_tables_numpy
 
     for b, (c, f, lab) in enumerate(shapes):
         p = min(c.shape[0], P)
-        pts = (np.asarray(c[:p], dtype=np.float64) / spec.voxel_size)
+        pts = np.asarray(c[:p], dtype=np.float64) / spec.voxel_size
         points[b, :p] = pts.astype(np.float32)
         point_feats[b, :p] = f[:p]
         labels[b, :p] = np.asarray(lab[:p]).reshape(-1)
         point_mask[b, :p] = True
 
-        vc, vf, inv = _quantize_one(pts, np.asarray(f[:p], dtype=np.float32),
-                                    spec.qmode, rng)
-        n0 = vc.shape[0]
-        if n0 > spec.level_caps[0]:
-            dropped[0] += n0 - spec.level_caps[0]
-            keep = n0  # we still drop below after assignment ordering
-            vc = vc[: spec.level_caps[0]]
-            vf = vf[: spec.level_caps[0]]
-            n0 = spec.level_caps[0]
-        coords[0][b, :n0] = vc
-        masks[0][b, :n0] = True
-        vox_feats[b, :n0] = vf
-        num_voxels[0][b] = n0
-        p2v = inv
-        valid_v = p2v < n0
-        point_to_voxel[b, :p] = np.where(
-            valid_v, b * spec.level_caps[0] + p2v, B * spec.level_caps[0]
-        )
-        indices[b][0] = _LevelIndex(vc.astype(np.int64))
+        tabs = builder(pts, spec)
+        p2v = tabs["p2v"]
+        feats_p = np.asarray(f[:p], dtype=np.float32)
+        n0_full = tabs["coords"][0].shape[0]
+        n0 = min(n0_full, L0)
+        dropped[0] += n0_full - n0
 
-        prev = vc.astype(np.int64)
-        for l in range(1, nl):
-            s2 = 2 ** l
-            down = (np.floor_divide(prev, s2)) * s2
-            uniq = np.unique(down, axis=0)
-            n = uniq.shape[0]
-            if n > spec.level_caps[l]:
-                dropped[l] += n - spec.level_caps[l]
-                uniq = uniq[: spec.level_caps[l]]
-                n = spec.level_caps[l]
-            coords[l][b, :n] = uniq
+        # point -> voxel feature reduction (ME quantization modes)
+        if spec.qmode == QMode.UNWEIGHTED_AVERAGE:
+            sums = np.zeros((n0_full, cf), dtype=np.float64)
+            np.add.at(sums, p2v, feats_p)
+            counts = np.bincount(p2v, minlength=n0_full).astype(np.float64)
+            vf = (sums / np.maximum(counts, 1.0)[:, None]).astype(np.float32)
+        else:  # RANDOM_SUBSAMPLE
+            r = rng.random(p)
+            best = np.full(n0_full, -1.0)
+            np.maximum.at(best, p2v, r)
+            best_idx = np.zeros(n0_full, dtype=np.int64)
+            hit = r >= best[p2v] - 1e-12
+            best_idx[p2v[hit]] = np.nonzero(hit)[0]
+            vf = feats_p[best_idx]
+
+        for l in range(nl):
+            cl = tabs["coords"][l]
+            n_full = cl.shape[0]
+            n = min(n_full, spec.level_caps[l])
+            if l > 0:
+                dropped[l] += n_full - n
+            coords[l][b, :n] = cl[:n]
             masks[l][b, :n] = True
             num_voxels[l][b] = n
-            indices[b][l] = _LevelIndex(uniq)
-            prev = uniq
+        vox_feats[b, :n0] = vf[:n0]
 
-    # Kernel maps
-    kmaps: Dict[str, np.ndarray] = {}
-    for m in spec.maps:
-        if m.kind == "same":
-            src_l, dst_l = m.level, m.level
-            sign = +1
-        elif m.kind == "down":
-            src_l, dst_l = m.level, m.level + 1
-            sign = +1
-        elif m.kind == "up":
-            src_l, dst_l = m.level + 1, m.level
-            sign = -1
-        else:
-            raise ValueError(m.kind)
-        if dst_l >= nl or src_l >= nl:
-            raise ValueError(
-                f"map {m.name} needs level {max(src_l, dst_l)} but spec has {nl}"
-            )
-        Ld = spec.level_caps[dst_l]
-        Ls = spec.level_caps[src_l]
-        offs = m.offsets()
-        K = offs.shape[0]
-        table = np.full((K, B * Ld), B * Ls, dtype=np.int32)
-        for b in range(B):
-            n = int(num_voxels[dst_l][b])
-            if n == 0:
-                continue
-            out_c = coords[dst_l][b, :n].astype(np.int64)
-            src_index = indices[b][src_l]
-            for k in range(K):
-                q = out_c + sign * offs[k][None, :]
-                hit = src_index.lookup(q)
-                col = np.where(hit >= 0, b * Ls + hit, B * Ls)
-                table[k, b * Ld : b * Ld + n] = col.astype(np.int32)
-        kmaps[m.name] = table
+        valid_v = p2v < n0
+        point_to_voxel[b, :p] = np.where(valid_v, b * L0 + p2v, B * L0)
 
-    # Trilinear interpolation tables at level 0 (replaces
-    # `soutput.interpolate(queries_field)`, `lib/trainer_csn.py:201`).
-    L0 = spec.level_caps[0]
-    interp_idx = np.full((B, P, 8), B * L0, dtype=np.int32)
-    interp_w = np.zeros((B, P, 8), dtype=np.float32)
-    corner_offs = np.array(list(itertools.product([0, 1], repeat=3)), dtype=np.int64)
-    for b in range(B):
-        p = int(point_mask[b].sum())
-        if p == 0:
-            continue
-        pts = points[b, :p].astype(np.float64)
-        base = np.floor(pts).astype(np.int64)
-        frac = pts - base
-        src_index = indices[b][0]
-        for k in range(8):
-            off = corner_offs[k]
-            q = base + off[None, :]
-            hit = src_index.lookup(q)
-            w = np.prod(
-                np.where(off[None, :] == 1, frac, 1.0 - frac), axis=1
-            ).astype(np.float32)
-            interp_idx[b, :p, k] = np.where(hit >= 0, b * L0 + hit, B * L0).astype(
-                np.int32
-            )
-            interp_w[b, :p, k] = np.where(hit >= 0, w, 0.0)
+        for m in spec.maps:
+            dst_l = m.level + 1 if m.kind == "down" else m.level
+            src_l = m.level + 1 if m.kind == "up" else m.level
+            Ld, Ls = spec.level_caps[dst_l], spec.level_caps[src_l]
+            n_src = int(num_voxels[src_l][b])
+            local = tabs["kmaps"][m.name]  # [K, Ld] local ids, -1 missing
+            ok = (local >= 0) & (local < n_src)
+            kmaps[m.name][:, b * Ld : (b + 1) * Ld] = np.where(
+                ok, b * Ls + local, B * Ls).astype(np.int32)
+
+        li = tabs["interp_idx"][:p]
+        lw = tabs["interp_w"][:p]
+        ok = (li >= 0) & (li < n0)
+        interp_idx[b, :p] = np.where(ok, b * L0 + li, B * L0).astype(np.int32)
+        interp_w[b, :p] = np.where(ok, lw, 0.0)
 
     return VoxelBatch(
         points=points,

@@ -94,8 +94,9 @@ class CrossShapeAt(nn.Module):
             d_v=self.d_v, chunk_size=self.chunk_size,
             use_flash=self.use_flash)
         if "csa" in self.attention_type:
-            self.compatibility_q = nn.Dense(256, use_bias=True)
-            self.compatibility_k = nn.Dense(256, use_bias=True)
+            # the reference hard-codes 256 == d_model (`csa_models.py:160-161`)
+            self.compatibility_q = nn.Dense(self.d_model, use_bias=True)
+            self.compatibility_k = nn.Dense(self.d_model, use_bias=True)
 
     def _maybe_fc(self, x, train: bool):
         if self.after_fc:
@@ -151,15 +152,19 @@ class CrossShapeAt(nn.Module):
 
 def get_model(attention_type: str, num_classes: int, n_heads: int,
               K: Optional[int] = None, chunk_size: Optional[int] = 500,
-              use_flash: bool = False) -> CrossShapeAt:
-    """`csa_models.py:426-432` factory (after_fc=True, d_model=256)."""
+              use_flash: bool = False, d_model: int = 256) -> CrossShapeAt:
+    """`csa_models.py:426-432` factory (after_fc=True, d_model=256; the
+    reference also uses d_k=d_v=256 == d_model regardless of n_heads,
+    `csa_models.py:147`)."""
     if attention_type == "ssa":
-        return CrossShapeAt(num_classes=num_classes, d_model=256,
+        return CrossShapeAt(num_classes=num_classes, d_model=d_model,
+                            d_k=d_model, d_v=d_model,
                             n_heads=n_heads, attention_type="ssa",
                             after_fc=True, chunk_size=chunk_size,
                             use_flash=use_flash)
     if attention_type == "csa":
-        return CrossShapeAt(num_classes=num_classes, d_model=256,
+        return CrossShapeAt(num_classes=num_classes, d_model=d_model,
+                            d_k=d_model, d_v=d_model,
                             n_heads=n_heads, K=K, attention_type="csa",
                             after_fc=True, chunk_size=chunk_size,
                             use_flash=use_flash)

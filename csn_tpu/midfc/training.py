@@ -51,6 +51,7 @@ class MidfcConfig:
     n_heads: int = 1
     K: int = 1
     batch_size: int = 8
+    d_model: int = 256               # == feature channels (256 for real fc_1)
     lr: float = 1e-3
     weight_decay: float = 1e-4       # ssa default; csa uses 5e-4
     gradient_accumulation_steps: int = 32
@@ -86,7 +87,7 @@ class MidfcRunner:
         self.attention_type = attention_type
         self.model = get_model(attention_type, cfg.num_classes, cfg.n_heads,
                                K=cfg.K, chunk_size=cfg.chunk_size,
-                               use_flash=cfg.use_flash)
+                               use_flash=cfg.use_flash, d_model=cfg.d_model)
         self.optimizer = make_optimizer(
             optimizer="Adam", lr=cfg.lr, adam_beta1=0.5, adam_beta2=0.999,
             weight_decay=cfg.weight_decay)

@@ -40,6 +40,20 @@ def _conv_kernel_init(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, minval=-s, maxval=s)
 
 
+def transpose_map_name(map_name: str) -> Tuple[str, bool]:
+    """Transpose kernel-map name + weight-mirror flag for the fast all-gather
+    backward (core/conv.py): a same-level odd kernel is its own transpose with
+    mirrored offsets; down and up maps of equal kernel size transpose each
+    other."""
+    if map_name.startswith("same"):
+        return map_name, True
+    if map_name.startswith("down"):
+        return "up" + map_name[4:], False
+    if map_name.startswith("up"):
+        return "down" + map_name[2:], False
+    raise ValueError(map_name)
+
+
 class SparseConv(nn.Module):
     """Sparse (possibly strided / transposed) convolution.
 
@@ -47,6 +61,9 @@ class SparseConv(nn.Module):
     'downNkK' moves level N -> N+1 (stride 2), 'upNkK' moves N+1 -> N
     (transpose stride 2). The caller is responsible for passing features of
     the map's source level and using the destination level's mask afterwards.
+
+    When the batch also carries the transpose map, backward runs as pure
+    gathers (no scatter-add) via `sparse_conv_tvjp`.
     """
 
     features: int
@@ -56,10 +73,15 @@ class SparseConv(nn.Module):
     @nn.compact
     def __call__(self, batch, x: jnp.ndarray, out_shape: Tuple[int, int]) -> jnp.ndarray:
         kmap = batch.kmaps[self.map_name]
+        t_name, mirror = transpose_map_name(self.map_name)
+        kmap_t = batch.kmaps.get(t_name)
+        if t_name == self.map_name:
+            kmap_t = kmap
         b, l_in, cin = x.shape
         k = kmap.shape[0]
         w = self.param("kernel", _conv_kernel_init, (k, cin, self.features))
-        out = sparse_conv(x.reshape(b * l_in, cin), kmap, w)
+        out = sparse_conv(x.reshape(b * l_in, cin), kmap, w, kmap_t=kmap_t,
+                          mirror=mirror)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             out = out + bias[None, :]

@@ -63,10 +63,12 @@ class ResNetBase(nn.Module):
     @classmethod
     def pyramid_requirements(cls, conv1_kernel_size: int = 5) -> Tuple[MapSpec, ...]:
         maps = [MapSpec("same", 0, conv1_kernel_size)]
-        maps += [MapSpec("down", 0, 2)]  # sum pooling
+        maps += [MapSpec("down", 0, 2), MapSpec("up", 0, 2)]  # sum pooling
         maps += [MapSpec("same", l, 3) for l in range(1, 6)]
         maps += [MapSpec("down", l, 3) for l in range(1, 5)]
+        maps += [MapSpec("up", l, 3) for l in range(1, 5)]
         maps += [MapSpec("down", l, 1) for l in range(1, 5)]
+        maps += [MapSpec("up", l, 1) for l in range(1, 5)]
         return _dedup(maps)
 
     def setup(self):

@@ -50,6 +50,82 @@ def scaled_dot_product_attention(
     return out.astype(v.dtype)
 
 
+def online_attention(
+    q: jnp.ndarray,            # [B, H, Lq, Dk]
+    k: jnp.ndarray,            # [B, H, Lk, Dk]
+    v: jnp.ndarray,            # [B, H, Lk, Dv]
+    kv_mask: Optional[jnp.ndarray] = None,  # [B, Lk] bool
+    temperature: Optional[float] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
+    kv_block: int = 1024,
+) -> jnp.ndarray:
+    """Blocked online-softmax (flash-style) attention without materializing
+    the [Lq, Lk] score matrix. Numerically identical to softmax attention;
+    dropout uses the flash rescaling identity (numerator dropped, denominator
+    undropped), which is exactly torch's dropout(softmax(s)) @ v.
+
+    Memory: O(Lq * kv_block) per step instead of O(Lq * Lk) — this replaces
+    the reference's 20x500 chunk hack (`MID-FC/csa_models.py:83-91`) and makes
+    SSA/CSA over full 4-5k-voxel shapes fit in HBM with gradients.
+    """
+    if temperature is None:
+        temperature = float(q.shape[-1]) ** 0.5
+    b, h, lq, dk = q.shape
+    lk = k.shape[2]
+    dv = v.shape[-1]
+    nb = -(-lk // kv_block)
+    pad = nb * kv_block - lk
+
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    if kv_mask is None:
+        m = jnp.ones((b, lk), dtype=bool)
+    else:
+        m = kv_mask
+    mp = jnp.pad(m, ((0, 0), (0, pad)))
+
+    kb = kp.reshape(b, h, nb, kv_block, dk).transpose(2, 0, 1, 3, 4)
+    vb = vp.reshape(b, h, nb, kv_block, dv).transpose(2, 0, 1, 3, 4)
+    mb = mp.reshape(b, nb, kv_block).transpose(1, 0, 2)
+    blk_idx = jnp.arange(nb)
+
+    qt = (q / temperature).astype(jnp.float32)
+    keep = 1.0 - dropout_rate
+    use_drop = dropout_rate > 0.0 and dropout_rng is not None
+
+    def body(carry, inp):
+        m_run, denom, acc = carry
+        k_b, v_b, msk_b, i_b = inp
+        s = jnp.einsum("bhqd,bhkd->bhqk", qt, k_b.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        s = jnp.where(msk_b[:, None, None, :], s, NEG_INF)
+        m_new = jnp.maximum(m_run, s.max(axis=-1))
+        scale = jnp.exp(m_run - m_new)
+        e = jnp.exp(s - m_new[..., None])
+        denom = denom * scale + e.sum(axis=-1)
+        if use_drop:
+            rng_b = jax.random.fold_in(dropout_rng, i_b)
+            dmask = jax.random.bernoulli(rng_b, keep, e.shape)
+            e_num = jnp.where(dmask, e / keep, 0.0)
+        else:
+            e_num = e
+        acc = acc * scale[..., None] + jnp.einsum(
+            "bhqk,bhkd->bhqd", e_num, v_b.astype(jnp.float32),
+            preferred_element_type=jnp.float32)
+        return (m_new, denom, acc), None
+
+    init = (
+        jnp.full((b, h, lq), NEG_INF, dtype=jnp.float32),
+        jnp.zeros((b, h, lq), dtype=jnp.float32),
+        jnp.zeros((b, h, lq, dv), dtype=jnp.float32),
+    )
+    (m_run, denom, acc), _ = jax.lax.scan(
+        jax.checkpoint(body), init, (kb, vb, mb, blk_idx))
+    out = acc / jnp.maximum(denom, 1e-30)[..., None]
+    return out.astype(v.dtype)
+
+
 class MultiHeadAttention(nn.Module):
     """Post-norm residual MHA (`models/attention.py:9-56`).
 
@@ -67,6 +143,11 @@ class MultiHeadAttention(nn.Module):
     d_v: int
     dropout: float = 0.1
     use_flash: bool = False
+    # 'auto': dense softmax for short keys, blocked online-softmax beyond
+    # `dense_max_kv` (keeps the [Lq, Lk] score matrix out of HBM).
+    attn_impl: str = "auto"
+    dense_max_kv: int = 1024
+    kv_block: int = 1024
 
     @nn.compact
     def __call__(
@@ -95,15 +176,23 @@ class MultiHeadAttention(nn.Module):
         if train and self.dropout > 0.0:
             attn_rng = self.make_rng("dropout")
 
+        temp = float(self.d_k) ** 0.5
+        impl = self.attn_impl
+        if impl == "auto":
+            impl = "dense" if lk <= self.dense_max_kv else "online"
+
         if self.use_flash and attn_rng is None:
             from csn_tpu.ops.flash import flash_attention
 
-            out = flash_attention(qh, kh, vh, kv_mask,
-                                  temperature=float(self.d_k) ** 0.5)
+            out = flash_attention(qh, kh, vh, kv_mask, temperature=temp)
+        elif impl == "online":
+            out = online_attention(
+                qh, kh, vh, kv_mask, temperature=temp,
+                dropout_rate=self.dropout if train else 0.0,
+                dropout_rng=attn_rng, kv_block=self.kv_block)
         else:
             out = scaled_dot_product_attention(
-                qh, kh, vh, kv_mask,
-                temperature=float(self.d_k) ** 0.5,
+                qh, kh, vh, kv_mask, temperature=temp,
                 dropout_rate=self.dropout if train else 0.0,
                 dropout_rng=attn_rng,
             )

@@ -1,0 +1,202 @@
+// csn-tpu native host engine: voxel quantization, coordinate hashmaps,
+// pyramid levels, kernel maps, and trilinear interpolation tables.
+//
+// This is the TPU-native counterpart of MinkowskiEngine's C++ CoordinateManager
+// (reference: the ME.TensorField/SparseTensor machinery the Python side drives
+// at MinkowskiNet/lib/trainer_csn.py:236-258). The device never sees dynamic
+// shapes: this library runs on the host per batch and emits the static-shape
+// index tables (kernel maps, interp corners) that the XLA/Pallas compute path
+// consumes. Exposed as a C ABI for ctypes (no pybind11 dependency).
+//
+// Build: make -C csrc   (produces libcsn_coords.so)
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Level {
+  std::vector<int32_t> coords;              // [n, 3]
+  std::unordered_map<uint64_t, int32_t> map; // packed coord -> index
+  int64_t n = 0;
+};
+
+// Pack signed 3D coords into a 64-bit key (21 bits per axis, offset bias).
+static inline uint64_t pack(int64_t x, int64_t y, int64_t z) {
+  const uint64_t B = 1ull << 20;  // supports coords in (-2^20, 2^20)
+  return (((uint64_t)(x + B)) << 42) | (((uint64_t)(y + B)) << 21) |
+         ((uint64_t)(z + B));
+}
+
+struct Shape {
+  std::vector<float> points;   // [n_points, 3] float voxel-unit coords
+  int64_t n_points = 0;
+  std::vector<Level> levels;
+  std::vector<int32_t> p2v;    // point -> level-0 voxel index
+};
+
+}  // namespace
+
+extern "C" {
+
+void* csn_shape_create(const float* pts, int64_t n_points, int32_t n_levels) {
+  Shape* s = new Shape();
+  s->n_points = n_points;
+  s->points.assign(pts, pts + n_points * 3);
+  s->levels.resize(n_levels);
+  s->p2v.resize(n_points);
+
+  // Level 0: floor-quantize, first-occurrence order (matches the numpy path).
+  Level& l0 = s->levels[0];
+  l0.map.reserve(n_points * 2);
+  l0.coords.reserve(n_points * 3);
+  for (int64_t i = 0; i < n_points; ++i) {
+    int64_t x = (int64_t)std::floor(pts[i * 3 + 0]);
+    int64_t y = (int64_t)std::floor(pts[i * 3 + 1]);
+    int64_t z = (int64_t)std::floor(pts[i * 3 + 2]);
+    uint64_t key = pack(x, y, z);
+    auto it = l0.map.find(key);
+    int32_t idx;
+    if (it == l0.map.end()) {
+      idx = (int32_t)l0.n;
+      l0.map.emplace(key, idx);
+      l0.coords.push_back((int32_t)x);
+      l0.coords.push_back((int32_t)y);
+      l0.coords.push_back((int32_t)z);
+      l0.n++;
+    } else {
+      idx = it->second;
+    }
+    s->p2v[i] = idx;
+  }
+
+  // Higher levels: floor-div by 2^l * 2^l, dedup in parent order.
+  for (int32_t l = 1; l < n_levels; ++l) {
+    Level& prev = s->levels[l - 1];
+    Level& cur = s->levels[l];
+    int64_t stride = 1ll << l;
+    cur.map.reserve(prev.n);
+    for (int64_t i = 0; i < prev.n; ++i) {
+      int64_t x = prev.coords[i * 3 + 0];
+      int64_t y = prev.coords[i * 3 + 1];
+      int64_t z = prev.coords[i * 3 + 2];
+      auto dv = [stride](int64_t a) {
+        // floor division times stride
+        int64_t q = a >= 0 ? a / stride : ((a - stride + 1) / stride);
+        return q * stride;
+      };
+      int64_t cx = dv(x), cy = dv(y), cz = dv(z);
+      uint64_t key = pack(cx, cy, cz);
+      if (cur.map.find(key) == cur.map.end()) {
+        cur.map.emplace(key, (int32_t)cur.n);
+        cur.coords.push_back((int32_t)cx);
+        cur.coords.push_back((int32_t)cy);
+        cur.coords.push_back((int32_t)cz);
+        cur.n++;
+      }
+    }
+  }
+  return s;
+}
+
+int64_t csn_shape_num_voxels(void* h, int32_t level) {
+  return ((Shape*)h)->levels[level].n;
+}
+
+void csn_shape_coords(void* h, int32_t level, int32_t* out, int64_t cap) {
+  Shape* s = (Shape*)h;
+  Level& l = s->levels[level];
+  int64_t n = l.n < cap ? l.n : cap;
+  std::memcpy(out, l.coords.data(), n * 3 * sizeof(int32_t));
+}
+
+void csn_shape_p2v(void* h, int32_t* out) {
+  Shape* s = (Shape*)h;
+  std::memcpy(out, s->p2v.data(), s->n_points * sizeof(int32_t));
+}
+
+// Kernel map: for each destination voxel (level dst, truncated at cap_dst)
+// and each of the K offsets, the source-level voxel index or -1.
+// kind: 0=same (src==dst level), 1=down (src=level, dst=level+1),
+//       2=up (src=level+1, dst=level). ksize odd -> centered offsets,
+// even -> {0..k-1} (ME convention; core/pyramid.py MapSpec.offsets).
+void csn_shape_kernel_map(void* h, int32_t kind, int32_t level, int32_t ksize,
+                          int64_t cap_dst, int32_t* out) {
+  Shape* s = (Shape*)h;
+  int32_t src_l, dst_l, sign;
+  if (kind == 0) { src_l = level; dst_l = level; sign = 1; }
+  else if (kind == 1) { src_l = level; dst_l = level + 1; sign = 1; }
+  else { src_l = level + 1; dst_l = level; sign = -1; }
+
+  Level& src = s->levels[src_l];
+  Level& dst = s->levels[dst_l];
+  int64_t stride = 1ll << level;  // offsets in units of the *finer* level
+  int64_t n = dst.n < cap_dst ? dst.n : cap_dst;
+  int64_t K = (int64_t)ksize * ksize * ksize;
+
+  std::vector<int64_t> offs(K * 3);
+  int64_t lo = (ksize % 2 == 1) ? -(ksize / 2) : 0;
+  int64_t idx = 0;
+  for (int64_t dx = 0; dx < ksize; ++dx)
+    for (int64_t dy = 0; dy < ksize; ++dy)
+      for (int64_t dz = 0; dz < ksize; ++dz) {
+        offs[idx * 3 + 0] = (lo + dx) * stride;
+        offs[idx * 3 + 1] = (lo + dy) * stride;
+        offs[idx * 3 + 2] = (lo + dz) * stride;
+        idx++;
+      }
+
+  for (int64_t k = 0; k < K; ++k) {
+    int64_t ox = sign * offs[k * 3 + 0];
+    int64_t oy = sign * offs[k * 3 + 1];
+    int64_t oz = sign * offs[k * 3 + 2];
+    int32_t* row = out + k * cap_dst;
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t x = dst.coords[i * 3 + 0] + ox;
+      int64_t y = dst.coords[i * 3 + 1] + oy;
+      int64_t z = dst.coords[i * 3 + 2] + oz;
+      auto it = src.map.find(pack(x, y, z));
+      row[i] = (it == src.map.end()) ? -1 : it->second;
+    }
+    for (int64_t i = n; i < cap_dst; ++i) row[i] = -1;
+  }
+}
+
+// Trilinear interpolation tables at level 0: per point, 8 corner voxel
+// indices (-1 if absent) and weights.
+void csn_shape_interp(void* h, int32_t* idx_out, float* w_out) {
+  Shape* s = (Shape*)h;
+  Level& l0 = s->levels[0];
+  for (int64_t i = 0; i < s->n_points; ++i) {
+    double px = s->points[i * 3 + 0];
+    double py = s->points[i * 3 + 1];
+    double pz = s->points[i * 3 + 2];
+    int64_t bx = (int64_t)std::floor(px);
+    int64_t by = (int64_t)std::floor(py);
+    int64_t bz = (int64_t)std::floor(pz);
+    double fx = px - bx, fy = py - by, fz = pz - bz;
+    int64_t c = 0;
+    for (int64_t dx = 0; dx <= 1; ++dx)
+      for (int64_t dy = 0; dy <= 1; ++dy)
+        for (int64_t dz = 0; dz <= 1; ++dz) {
+          auto it = l0.map.find(pack(bx + dx, by + dy, bz + dz));
+          double w = (dx ? fx : 1.0 - fx) * (dy ? fy : 1.0 - fy) *
+                     (dz ? fz : 1.0 - fz);
+          if (it == l0.map.end()) {
+            idx_out[i * 8 + c] = -1;
+            w_out[i * 8 + c] = 0.0f;
+          } else {
+            idx_out[i * 8 + c] = it->second;
+            w_out[i * 8 + c] = (float)w;
+          }
+          c++;
+        }
+  }
+}
+
+void csn_shape_destroy(void* h) { delete (Shape*)h; }
+
+}  // extern "C"

@@ -92,6 +92,54 @@ def test_dropout_active_only_in_train():
     assert not np.allclose(np.asarray(t1), np.asarray(t2))
 
 
+def test_online_attention_matches_dense():
+    from csn_tpu.ops.attention import (
+        online_attention, scaled_dot_product_attention,
+    )
+
+    rng = np.random.default_rng(4)
+    b, h, lq, lk, dk = 2, 3, 17, 37, 8
+    q = jnp.asarray(rng.normal(size=(b, h, lq, dk)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, lk, dk)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, lk, dk)).astype(np.float32))
+    mask = np.ones((b, lk), dtype=bool)
+    mask[0, 30:] = False
+    mask = jnp.asarray(mask)
+    dense = scaled_dot_product_attention(q, k, v, mask)
+    online = online_attention(q, k, v, mask, kv_block=16)
+    np.testing.assert_allclose(np.asarray(online), np.asarray(dense),
+                               rtol=1e-4, atol=1e-5)
+
+    # gradients agree too
+    def f_dense(q):
+        return jnp.sum(scaled_dot_product_attention(q, k, v, mask) ** 2)
+
+    def f_online(q):
+        return jnp.sum(online_attention(q, k, v, mask, kv_block=16) ** 2)
+
+    gd = jax.grad(f_dense)(q)
+    go = jax.grad(f_online)(q)
+    np.testing.assert_allclose(np.asarray(go), np.asarray(gd), rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_mha_auto_impl_consistent():
+    from csn_tpu.ops.attention import MultiHeadAttention
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 40, 8)).astype(np.float32))
+    mask = jnp.asarray(np.arange(40)[None, :] < 33)
+    m_dense = MultiHeadAttention(n_head=2, d_model=8, d_k=4, d_v=4,
+                                 attn_impl="dense")
+    m_online = MultiHeadAttention(n_head=2, d_model=8, d_k=4, d_v=4,
+                                  attn_impl="online", kv_block=16)
+    variables = m_dense.init(jax.random.PRNGKey(0), x, x, x)
+    a = m_dense.apply(variables, x, x, x, mask, train=False)
+    b = m_online.apply(variables, x, x, x, mask, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                               atol=1e-5)
+
+
 def test_compatibility_softmax_semantics():
     rng = np.random.default_rng(3)
     qg = rng.normal(size=(3, 8)).astype(np.float32)

@@ -113,6 +113,48 @@ def test_sum_pool_matches_manual():
         np.testing.assert_allclose(out[b, i], acc, rtol=1e-5, atol=1e-5)
 
 
+def test_tvjp_backward_matches_autodiff():
+    """The all-gather backward (transpose kernel maps) must produce the same
+    gradients as plain autodiff through the gather-scatter formulation."""
+    import jax
+
+    maps = [MapSpec("same", 0, 3), MapSpec("down", 0, 2), MapSpec("up", 0, 2)]
+    shapes, spec, vb = build(maps, n=120, B=2)
+    B, L0 = vb.masks[0].shape
+    _, L1 = vb.masks[1].shape
+    rng = np.random.default_rng(5)
+    feats = jnp.asarray(vb.vox_feats.reshape(B * L0, 4))
+
+    cases = [
+        ("same0k3", "same0k3", True, L0),
+        ("down0k2", "up0k2", False, L1),
+        ("up0k2", "down0k2", False, L0),
+    ]
+    for name, t_name, mirror, l_out in cases:
+        kmap = jnp.asarray(vb.kmaps[name])
+        kmap_t = jnp.asarray(vb.kmaps[t_name])
+        K = kmap.shape[0]
+        w = jnp.asarray(
+            rng.normal(size=(K, 4, 5)).astype(np.float32) * 0.2)
+        src = feats if name != "up0k2" else jnp.asarray(
+            np.pad(rng.normal(size=(B * L1, 4)).astype(np.float32), ((0, 0),
+                                                                     (0, 0))))
+
+        def loss_plain(f, ww):
+            return jnp.sum(sparse_conv(f, kmap, ww) ** 2)
+
+        def loss_tvjp(f, ww):
+            return jnp.sum(sparse_conv(f, kmap, ww, kmap_t=kmap_t,
+                                       mirror=mirror) ** 2)
+
+        gf1, gw1 = jax.grad(loss_plain, argnums=(0, 1))(src, w)
+        gf2, gw2 = jax.grad(loss_tvjp, argnums=(0, 1))(src, w)
+        np.testing.assert_allclose(np.asarray(gf2), np.asarray(gf1),
+                                   rtol=1e-3, atol=1e-4, err_msg=name)
+        np.testing.assert_allclose(np.asarray(gw2), np.asarray(gw1),
+                                   rtol=1e-3, atol=1e-4, err_msg=name)
+
+
 def test_masked_batchnorm_train_stats():
     rng = np.random.default_rng(0)
     x = rng.normal(size=(2, 16, 3)).astype(np.float32) * 2 + 1

@@ -166,8 +166,8 @@ def test_ssa_training_smoke(midfc_roots, tmp_path):
     tr, te = midfc_roots
     cfg = MidfcConfig(logs_dir=str(tmp_path / "ssa"), partname="Bed",
                       num_classes=5, n_heads=2, batch_size=2, epochs=2,
-                      gradient_accumulation_steps=2, chunk_size=20,
-                      num_points=40)
+                      d_model=16, gradient_accumulation_steps=2,
+                      chunk_size=20, num_points=40)
     best, path = train_ssa(cfg, FeaturesDataset(tr, 40),
                            FeaturesDataset(te, 40))
     assert os.path.exists(path)
@@ -185,8 +185,9 @@ def test_csa_training_two_phase(midfc_roots, tmp_path):
     tr, te = midfc_roots
     cfg = MidfcConfig(logs_dir=str(tmp_path / "csa"), partname="Bed",
                       num_classes=5, n_heads=2, K=1, batch_size=1,
-                      weight_decay=5e-4, gradient_accumulation_steps=2,
-                      chunk_size=20, num_points=40, testing=True)
+                      d_model=16, weight_decay=5e-4,
+                      gradient_accumulation_steps=2, chunk_size=20,
+                      num_points=40, testing=True)
     # initial graphs from an untrained runner (stand-in for precomputed ones)
     runner = MidfcRunner(cfg, "ssa")
     tr_ds, te_ds = FeaturesDataset(tr, 40), FeaturesDataset(te, 40)

@@ -182,6 +182,67 @@ def test_interp_exact_at_voxel_corner():
     np.testing.assert_allclose(np.asarray(out[0, 0]), feats[0], atol=1e-5)
 
 
+def test_native_engine_matches_numpy():
+    from csn_tpu.core import native
+
+    if not native.available():
+        pytest.skip("native engine not built")
+    maps = [MapSpec("same", 0, 3), MapSpec("down", 0, 2), MapSpec("up", 0, 2)]
+    rng = np.random.default_rng(3)
+    shapes = [make_shape(rng, 300) for _ in range(2)]
+    spec = PyramidSpec(voxel_size=1.0, num_points=300,
+                       level_caps=(320, 320), maps=tuple(maps),
+                       qmode=QMode.UNWEIGHTED_AVERAGE)
+    vb_np = build_voxel_batch(shapes, spec, rng=np.random.default_rng(7),
+                              use_native=False)
+    vb_nat = build_voxel_batch(shapes, spec, rng=np.random.default_rng(7),
+                               use_native=True)
+
+    for b in range(2):
+        for l in range(2):
+            n1 = int(vb_np.num_voxels[l][b])
+            n2 = int(vb_nat.num_voxels[l][b])
+            assert n1 == n2
+            s1 = {tuple(r) for r in vb_np.coords[l][b, :n1]}
+            s2 = {tuple(r) for r in vb_nat.coords[l][b, :n2]}
+            assert s1 == s2
+
+    # Functional equivalence: a conv over each batch produces identical
+    # per-coordinate outputs (voxel ordering differs between the builders).
+    import jax.numpy as jnp
+    from csn_tpu.core.conv import sparse_conv
+    from csn_tpu.core.interp import interpolate_to_points
+
+    w = rng.normal(size=(27, 3, 4)).astype(np.float32) * 0.3
+    B, L = vb_np.masks[0].shape
+
+    def run(vb):
+        out = np.asarray(sparse_conv(
+            jnp.asarray(vb.vox_feats.reshape(B * L, 3)),
+            jnp.asarray(vb.kmaps["same0k3"]), jnp.asarray(w)))
+        out = out.reshape(B, L, 4)
+        res = {}
+        for b in range(B):
+            n = int(vb.num_voxels[0][b])
+            for i in range(n):
+                res[(b,) + tuple(vb.coords[0][b, i])] = out[b, i]
+        return res
+
+    r1, r2 = run(vb_np), run(vb_nat)
+    assert r1.keys() == r2.keys()
+    for kk in r1:
+        np.testing.assert_allclose(r1[kk], r2[kk], rtol=1e-4, atol=1e-5)
+
+    # Interpolated point readout identical (order-independent by nature).
+    def interp(vb):
+        jb = vb.to_jax()
+        return np.asarray(interpolate_to_points(
+            jnp.asarray(vb.vox_feats), jb.interp_idx, jb.interp_w))
+
+    np.testing.assert_allclose(interp(vb_np), interp(vb_nat), rtol=1e-4,
+                               atol=1e-5)
+
+
 def test_point_to_voxel_roundtrip():
     shapes, spec, vb = build([], n=200, B=2)
     B, L = vb.masks[0].shape
