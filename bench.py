@@ -127,12 +127,16 @@ def main():
           f"loss={float(loss):.3f}", file=sys.stderr)
 
     for i in range(2):  # warmup
+        t1 = time.time()
         key, sub = jax.random.split(key)
         params, stats, opt_state, loss = train_step(params, stats, opt_state,
                                                     qb, kb, sub)
-    loss.block_until_ready()
+        loss.block_until_ready()
+        print(f"[bench] warmup step {i}: {time.time() - t1:.2f}s",
+              file=sys.stderr)
 
-    iters = 10
+    import os
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
     t0 = time.time()
     for i in range(iters):
         key, sub = jax.random.split(key)

@@ -39,9 +39,14 @@ def _gather_rows(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return feats.at[idx].get(mode="fill", fill_value=0)
 
 
-def _conv_impl(feats, kmap, weights, accum_dtype=jnp.float32):
+def _conv_impl(feats, kmap, weights, accum_dtype=jnp.float32,
+               remat: bool = False):
     """out[i] = sum_k W[k]^T-applied neighbor rows. Chooses gather-then-
-    transform or transform-then-gather based on channel widths."""
+    transform or transform-then-gather based on channel widths.
+
+    `remat=True` wraps the offset-scan body in jax.checkpoint so plain
+    autodiff does not store K_off gathered blocks; the custom-vjp path leaves
+    it off (nothing differentiates through it) to keep compile time down."""
     n_out = kmap.shape[1]
     cin = feats.shape[-1]
     cout = weights.shape[-1]
@@ -62,7 +67,8 @@ def _conv_impl(feats, kmap, weights, accum_dtype=jnp.float32):
                 None
 
     init = jnp.zeros((n_out, cout), dtype=accum_dtype)
-    out, _ = jax.lax.scan(jax.checkpoint(body), init, (kmap, weights))
+    body_fn = jax.checkpoint(body) if remat else body
+    out, _ = jax.lax.scan(body_fn, init, (kmap, weights))
     return out.astype(feats.dtype)
 
 
@@ -116,8 +122,7 @@ def _tvjp_bwd(mirror, res, g):
         return carry + df_k, dw_k
 
     df_init = jnp.zeros((feats.shape[0], weights.shape[1]), jnp.float32)
-    d_feats, d_w_t = jax.lax.scan(jax.checkpoint(body), df_init,
-                                  (kmap_t, w_for_t))
+    d_feats, d_w_t = jax.lax.scan(body, df_init, (kmap_t, w_for_t))
     # d_w_t[k] corresponds to transpose-offset k -> un-mirror for same maps.
     d_w = d_w_t[::-1] if mirror else d_w_t
 
@@ -144,7 +149,7 @@ def sparse_conv(
     """
     if kmap_t is not None:
         return sparse_conv_tvjp(feats, weights, kmap, kmap_t, mirror)
-    return _conv_impl(feats, kmap, weights, accum_dtype)
+    return _conv_impl(feats, kmap, weights, accum_dtype, remat=True)
 
 
 def sparse_conv_with_bias(feats, kmap, weights, bias, **kw):

@@ -35,6 +35,10 @@ from csn_tpu.train.losses import cross_entropy_ignore
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise ValueError(f"need {n} devices for the mesh, have {len(devs)} "
+                         f"(set XLA_FLAGS=--xla_force_host_platform_device_"
+                         f"count={n} JAX_PLATFORMS=cpu for a virtual mesh)")
     return Mesh(np.array(devs[:n]), (axis,))
 
 

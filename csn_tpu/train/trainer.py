@@ -72,9 +72,12 @@ class BaseTrainer:
         self.losses, self.scores = AverageMeter(), AverageMeter()
 
         self.rng = np.random.default_rng(config.seed)
+        # Dedicated generator for the training-data path: it is consumed from
+        # the prefetch thread and must not race the eval/graph paths' rng.
+        self.data_rng = np.random.default_rng(config.seed + 1)
         self.jax_rng = jax.random.PRNGKey(config.seed)
         self.sampler = InfSampler(len(train_dataset), shuffle=True,
-                                  rng=self.rng)
+                                  rng=self.data_rng)
 
         self.optimizer = make_optimizer(
             optimizer=config.optimizer, lr=config.lr,
@@ -188,7 +191,7 @@ class BaseTrainer:
     def _fetch_data(self, augment: bool = True):
         idxs = self.sampler.take(self.config.batch_size)
         qb = build_batch_from_dataset(self.train_dataset, idxs, self.spec,
-                                      self.rng, augment=augment)
+                                      self.data_rng, augment=augment)
         keys = self._fetch_keys(self.train_dataset, idxs, augment)
         return qb.to_jax(), keys
 
@@ -207,14 +210,29 @@ class BaseTrainer:
         return float(self.plateau.lr) if hasattr(self, "plateau") else \
             self.config.lr
 
+    def _close_prefetch(self):
+        pf = getattr(self, "_prefetch", None)
+        if pf is not None:
+            pf.close()
+            self._prefetch = None
+
+    def _start_prefetch(self):
+        """Overlap host batch construction with device compute
+        (data/prefetch.py)."""
+        if getattr(self, "_prefetch", None) is None:
+            from csn_tpu.data.prefetch import Prefetcher
+
+            self._prefetch = Prefetcher(lambda: self._fetch_data(), depth=2)
+
     def _train_iter(self):
+        self._start_prefetch()
         self.iter_timer.tic()
         data_time, batch_loss = 0.0, 0.0
         grads_acc = None
         pred = target = mask = None
         for _ in range(self.config.iter_size):
             self.data_timer.tic()
-            qb, keys = self._fetch_data()
+            qb, keys = next(self._prefetch)
             data_time += self.data_timer.toc(False)
             step_rng, self.jax_rng = jax.random.split(self.jax_rng)
             loss, grads, new_stats, pred = self._grad_step(
@@ -436,6 +454,7 @@ class SegTrainer(BaseTrainer):
         val = self.validate()
         self.save_checkpoint()
         self._save_best_checkpoints(*val)
+        self._close_prefetch()
         return val
 
 
@@ -483,7 +502,7 @@ class CSNTrainer(BaseTrainer):
             nbr_idxs = [self.train_dataset.neighbors[idx][1][i]
                         for idx in idxs]
             kb = build_batch_from_dataset(self.train_dataset, nbr_idxs,
-                                          self.spec, self.rng,
+                                          self.spec, self.data_rng,
                                           augment=augment)
             keys.append(kb.to_jax())
         return tuple(keys)
@@ -674,6 +693,7 @@ class CSNTrainer(BaseTrainer):
         self.save_checkpoint()
         self._save_best_checkpoints(*val)
         self._log_params()
+        self._close_prefetch()
         return val
 
     def construct_test_graph(self, test_dataset):

@@ -39,8 +39,9 @@ def test_flash_matches_dense_interpret():
 
     ref = scaled_dot_product_attention(q, k, v, mask, temperature=4.0)
     out = _flash_interpret(q, k, v, mask, 4.0)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4,
-                               atol=2e-5)
+    # kernel uses bf16 MXU operands -> bf16-level tolerance
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2,
+                               atol=2e-2)
 
 
 def test_flash_no_mask_interpret():
@@ -51,5 +52,5 @@ def test_flash_no_mask_interpret():
     v = jnp.asarray(rng.normal(size=(b, h, lk, d)).astype(np.float32))
     ref = scaled_dot_product_attention(q, k, v, None, temperature=2.0)
     out = _flash_interpret(q, k, v, None, 2.0)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4,
-                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2,
+                               atol=2e-2)
