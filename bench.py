@@ -74,9 +74,12 @@ def main():
     NUM_CLASSES = 39  # Chair
     rng = np.random.default_rng(0)
 
+    import os
+
     cls = load_model("HRNetSimCSN3S")
+    use_flash = os.environ.get("BENCH_FLASH", "1") == "1"
     model = cls(out_channels=NUM_CLASSES, conv1_kernel_size=5, d_model=256,
-                n_head=4, k_neighbors=K)
+                n_head=4, k_neighbors=K, use_flash=use_flash)
     spec = pyramid_spec_for_model(cls, num_points=P, voxel_size=VOXEL,
                                   conv1_kernel_size=5, level0_cap=5120,
                                   shrink=3.0)
@@ -135,7 +138,6 @@ def main():
         print(f"[bench] warmup step {i}: {time.time() - t1:.2f}s",
               file=sys.stderr)
 
-    import os
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     t0 = time.time()
     for i in range(iters):

@@ -181,10 +181,16 @@ class MultiHeadAttention(nn.Module):
         if impl == "auto":
             impl = "dense" if lk <= self.dense_max_kv else "online"
 
-        if self.use_flash and attn_rng is None:
+        if self.use_flash:
             from csn_tpu.ops.flash import flash_attention
 
-            out = flash_attention(qh, kh, vh, kv_mask, temperature=temp)
+            if attn_rng is not None:
+                seed = jax.random.randint(attn_rng, (1,), 0, 2 ** 31 - 1)
+                out = flash_attention(qh, kh, vh, kv_mask, seed,
+                                      temperature=temp,
+                                      dropout=self.dropout)
+            else:
+                out = flash_attention(qh, kh, vh, kv_mask, temperature=temp)
         elif impl == "online":
             out = online_attention(
                 qh, kh, vh, kv_mask, temperature=temp,

@@ -1,14 +1,26 @@
-"""Pallas TPU flash attention (masked, online-softmax).
+"""Pallas TPU flash attention (masked, online-softmax), forward + backward.
 
 The hot SSA/CSA kernel: blocked attention over padded per-shape point sets
 with no materialized [Lq, Lk] score matrix, accumulating in VMEM and keeping
-both matmuls on the MXU. Grid = (batch*heads, q-blocks, kv-blocks) with the
-kv dimension innermost; running max / denominator / output accumulator live in
-VMEM scratch across kv iterations (TPU grids execute sequentially per core).
+both matmuls on the MXU (bf16 operands, f32 accumulation).
 
-Forward runs the Pallas kernel; backward (custom_vjp) recomputes through the
-XLA online-softmax path (`ops/attention.py:online_attention`), which is
-memory-safe and exact. Used via `MultiHeadAttention(use_flash=True)`.
+* Forward: grid (batch*heads, q-blocks, kv-blocks), kv innermost; running
+  max / denominator / output accumulator in VMEM scratch (TPU grids execute
+  sequentially per core). Also emits the log-sum-exp rows for backward.
+* Backward: two kernels (the flash-attention split):
+    - dK/dV: grid (batch*heads, kv-blocks, q-blocks), q innermost,
+      accumulating per-kv-block dK/dV in VMEM;
+    - dQ:    grid (batch*heads, q-blocks, kv-blocks), kv innermost.
+  Both recompute the score block from q/k and the saved lse.
+* Dropout (attention-weight dropout, torch semantics dropout(softmax(s))@v)
+  runs inside the kernels with the TPU PRNG; the seed is a pure function of
+  (batch*head, q-block, kv-block), so forward and backward reproduce the
+  same mask. The flash identity applies: the numerator is dropped, the
+  denominator is not — exactly p_ij * m_ij / keep.
+
+Replaces both the per-batch-element attention loop of the reference
+(`MinkowskiNet/models/hrnet.py:378-410`) and MID-FC's 20x500 chunking
+(`MID-FC/csa_models.py:83-125`).
 """
 
 from __future__ import annotations
@@ -25,9 +37,24 @@ NEG_INF = -1e30
 LANES = 128
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref,
-                  m_scratch, l_scratch, acc_scratch, *, temperature: float,
-                  num_k_blocks: int):
+def _drop_mask(seed_ref, bh, qi, ki, shape, keep: float):
+    """Deterministic per-(bh, qi, ki) dropout keep-mask (the TPU PRNG accepts
+    at most two seed words; fold the grid position into one)."""
+    pltpu.prng_seed(seed_ref[0], (bh * 1000003 + qi * 769 + ki))
+    bits = pltpu.prng_random_bits(shape)  # uint32
+    thresh = jnp.uint32(int(keep * float(2 ** 32 - 1)))
+    return bits < thresh
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, out_ref, lse_ref,
+                m_scratch, l_scratch, acc_scratch, *, temperature: float,
+                num_k_blocks: int, dropout: float):
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -36,28 +63,32 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref,
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
-    # bf16 operands -> single-pass MXU; f32 accumulation.
-    q = (q_ref[0].astype(jnp.float32) * (1.0 / temperature)).astype(
-        jnp.bfloat16)                           # [BQ, D]
-    k = k_ref[0].astype(jnp.bfloat16)           # [BK, D]
-    v = v_ref[0].astype(jnp.bfloat16)           # [BK, D]
-    msk = mask_ref[0, 0]                        # [BK] bool/int
+    q = q_ref[0].astype(jnp.float32) * (1.0 / temperature)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    msk = mask_ref[0, 0]
 
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)     # [BQ, BK]
+        preferred_element_type=jnp.float32)
     s = jnp.where(msk[None, :] != 0, s, NEG_INF)
 
-    m_prev = m_scratch[:, :1]                   # [BQ, 1]
+    m_prev = m_scratch[:, :1]
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     scale = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)                      # [BQ, BK]
+    p = jnp.exp(s - m_new)
     l_new = l_scratch[:, :1] * scale + jnp.sum(p, axis=1, keepdims=True)
 
+    if dropout > 0.0:
+        keep = 1.0 - dropout
+        dm = _drop_mask(seed_ref, bh, qi, ki, p.shape, keep)
+        p_num = jnp.where(dm, p * (1.0 / keep), 0.0)
+    else:
+        p_num = p
+
     acc_scratch[...] = acc_scratch[...] * scale + jax.lax.dot_general(
-        p.astype(jnp.bfloat16), v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        p_num, v, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
@@ -67,82 +98,291 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref,
     def _finalize():
         denom = jnp.maximum(l_scratch[:, :1], 1e-30)
         out_ref[0] = (acc_scratch[...] / denom).astype(out_ref.dtype)
+        lse_ref[0, 0] = (m_scratch[:, 0]
+                         + jnp.log(jnp.maximum(l_scratch[:, 0], 1e-30)))
 
 
-def _flash_forward(q, k, v, kv_mask, temperature: float,
-                   block_q: int = 512, block_k: int = 1024):
+def _pad_to(x, axis, block):
+    pad = (-x.shape[axis]) % block
+    if pad == 0:
+        return x, 0
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths), pad
+
+
+def _prep(q, k, v, kv_mask, block_q, block_k):
     b, h, lq, dk = q.shape
     lk = k.shape[2]
     dv = v.shape[-1]
-
     block_q = min(block_q, max(8, lq))
     block_k = min(block_k, max(128, lk))
-    pad_q = (-lq) % block_q
-    pad_k = (-lk) % block_k
-
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+    qp, pad_q = _pad_to(q, 2, block_q)
+    kp, pad_k = _pad_to(k, 2, block_k)
+    vp, _ = _pad_to(v, 2, block_k)
     if kv_mask is None:
         m = jnp.ones((b, lk), dtype=jnp.int32)
     else:
         m = kv_mask.astype(jnp.int32)
-    mp = jnp.pad(m, ((0, 0), (0, pad_k)))[:, None, :]  # [B, 1, Lk]
-
+    mp, _ = _pad_to(m, 1, block_k)
+    mp = mp[:, None, :]
     lqp, lkp = lq + pad_q, lk + pad_k
-    qf = qp.reshape(b * h, lqp, dk)
-    kf = kp.reshape(b * h, lkp, dk)
-    vf = vp.reshape(b * h, lkp, dv)
+    return (qp.reshape(b * h, lqp, dk), kp.reshape(b * h, lkp, dk),
+            vp.reshape(b * h, lkp, dv), mp, block_q, block_k, lqp, lkp)
 
-    nq = lqp // block_q
-    nk = lkp // block_k
 
-    grid = (b * h, nq, nk)
-    kernel = functools.partial(_flash_kernel, temperature=temperature,
-                               num_k_blocks=nk)
-    out = pl.pallas_call(
+def _flash_forward(q, k, v, kv_mask, temperature: float, dropout: float = 0.0,
+                   seed=None, block_q: int = 512, block_k: int = 1024):
+    b, h, lq, dk = q.shape
+    dv = v.shape[-1]
+    qf, kf, vf, mp, block_q, block_k, lqp, lkp = _prep(
+        q, k, v, kv_mask, block_q, block_k)
+    nq, nk = lqp // block_q, lkp // block_k
+
+    kernel = functools.partial(_fwd_kernel, temperature=temperature,
+                               num_k_blocks=nk, dropout=dropout)
+    seed_arr = (jnp.zeros((1,), jnp.int32) if seed is None
+                else jnp.asarray(seed, jnp.int32).reshape(1))
+    out, lse = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(b * h, nq, nk),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, dk), lambda bh, qi, ki: (bh, qi, 0)),
             pl.BlockSpec((1, block_k, dk), lambda bh, qi, ki: (bh, ki, 0)),
             pl.BlockSpec((1, block_k, dv), lambda bh, qi, ki: (bh, ki, 0)),
             pl.BlockSpec((1, 1, block_k),
                          lambda bh, qi, ki: (bh // h, 0, ki)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, dv),
-                               lambda bh, qi, ki: (bh, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, lqp, dv), v.dtype),
+        out_specs=(
+            pl.BlockSpec((1, block_q, dv), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda bh, qi, ki: (bh, 0, qi)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, lqp, dv), v.dtype),
+            jax.ShapeDtypeStruct((b * h, 1, lqp), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, LANES), jnp.float32),
             pltpu.VMEM((block_q, LANES), jnp.float32),
             pltpu.VMEM((block_q, dv), jnp.float32),
         ],
-    )(qf, kf, vf, mp)
-    return out.reshape(b, h, lqp, dv)[:, :, :lq, :]
+    )(seed_arr, qf, kf, vf, mp)
+    return (out.reshape(b, h, lqp, dv)[:, :, :lq, :],
+            lse.reshape(b, h, lqp)[:, :, :lq])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def flash_attention(q, k, v, kv_mask=None, temperature: float = 1.0):
-    """[B, H, Lq, Dk] x [B, H, Lk, Dk] x [B, H, Lk, Dv] -> [B, H, Lq, Dv]."""
-    return _flash_forward(q, k, v, kv_mask, temperature)
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    mask_ref, dk_ref, dv_ref, dk_scratch, dv_scratch, *,
+                    temperature: float, num_q_blocks: int, dropout: float):
+    bh = pl.program_id(0)
+    ki = pl.program_id(1)
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scratch[...] = jnp.zeros_like(dk_scratch)
+        dv_scratch[...] = jnp.zeros_like(dv_scratch)
+
+    inv_t = 1.0 / temperature
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0]
+    delta = delta_ref[0, 0]
+    msk = mask_ref[0, 0]
+
+    s = jax.lax.dot_general(
+        q * inv_t, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)        # [BQ, BK]
+    s = jnp.where(msk[None, :] != 0, s, NEG_INF)
+    p = jnp.exp(s - lse[:, None])                  # true softmax probs
+
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)        # [BQ, BK]
+
+    if dropout > 0.0:
+        keep = 1.0 - dropout
+        dm = _drop_mask(seed_ref, bh, qi, ki, p.shape, keep)
+        dpd = jnp.where(dm, dp * (1.0 / keep), 0.0)
+        p_num = jnp.where(dm, p * (1.0 / keep), 0.0)
+    else:
+        dpd = dp
+        p_num = p
+
+    ds = p * (dpd - delta[:, None])                # [BQ, BK]
+
+    dv_scratch[...] += jax.lax.dot_general(
+        p_num, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)        # [BK, D]
+    dk_scratch[...] += jax.lax.dot_general(
+        ds, q * inv_t, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)        # [BK, D]
+
+    @pl.when(qi == num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0] = dk_scratch[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[...].astype(dv_ref.dtype)
 
 
-def _fwd(q, k, v, kv_mask, temperature):
-    out = _flash_forward(q, k, v, kv_mask, temperature)
-    return out, (q, k, v, kv_mask)
+def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   mask_ref, dq_ref, dq_scratch, *, temperature: float,
+                   num_k_blocks: int, dropout: float):
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scratch[...] = jnp.zeros_like(dq_scratch)
+
+    inv_t = 1.0 / temperature
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0]
+    delta = delta_ref[0, 0]
+    msk = mask_ref[0, 0]
+
+    s = jax.lax.dot_general(
+        q * inv_t, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s = jnp.where(msk[None, :] != 0, s, NEG_INF)
+    p = jnp.exp(s - lse[:, None])
+
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    if dropout > 0.0:
+        keep = 1.0 - dropout
+        dm = _drop_mask(seed_ref, bh, qi, ki, p.shape, keep)
+        dpd = jnp.where(dm, dp * (1.0 / keep), 0.0)
+    else:
+        dpd = dp
+
+    ds = p * (dpd - delta[:, None])
+    dq_scratch[...] += jax.lax.dot_general(
+        ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * inv_t
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        dq_ref[0] = dq_scratch[...].astype(dq_ref.dtype)
 
 
-def _bwd(temperature, res, g):
-    from csn_tpu.ops.attention import online_attention
+def _flash_backward(q, k, v, kv_mask, out, lse, g, temperature: float,
+                    dropout: float = 0.0, seed=None,
+                    block_q: int = 512, block_k: int = 1024):
+    b, h, lq, dk_dim = q.shape
+    lk = k.shape[2]
+    dv = v.shape[-1]
+    qf, kf, vf, mp, block_q, block_k, lqp, lkp = _prep(
+        q, k, v, kv_mask, block_q, block_k)
+    gf, _ = _pad_to(g, 2, block_q)
+    gf = gf.reshape(b * h, lqp, dv)
+    lse_p, _ = _pad_to(lse, 2, block_q)
+    lse_f = lse_p.reshape(b * h, 1, lqp)
+    # delta_i = sum_d dO_id * O_id (rowsum) — computed in XLA, tiny.
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta_p, _ = _pad_to(delta, 2, block_q)
+    delta_f = delta_p.reshape(b * h, 1, lqp)
 
-    q, k, v, kv_mask = res
-    _, vjp = jax.vjp(
-        lambda q, k, v: online_attention(q, k, v, kv_mask,
-                                         temperature=temperature),
-        q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+    nq, nk = lqp // block_q, lkp // block_k
+    seed_arr = (jnp.zeros((1,), jnp.int32) if seed is None
+                else jnp.asarray(seed, jnp.int32).reshape(1))
+
+    dkv_kernel = functools.partial(_bwd_dkv_kernel, temperature=temperature,
+                                   num_q_blocks=nq, dropout=dropout)
+    dk, dv_out = pl.pallas_call(
+        dkv_kernel,
+        grid=(b * h, nk, nq),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, dk_dim), lambda bh, ki, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, block_k, dk_dim), lambda bh, ki, qi: (bh, ki, 0)),
+            pl.BlockSpec((1, block_k, dv), lambda bh, ki, qi: (bh, ki, 0)),
+            pl.BlockSpec((1, block_q, dv), lambda bh, ki, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda bh, ki, qi: (bh, 0, qi)),
+            pl.BlockSpec((1, 1, block_q), lambda bh, ki, qi: (bh, 0, qi)),
+            pl.BlockSpec((1, 1, block_k),
+                         lambda bh, ki, qi: (bh // h, 0, ki)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, dk_dim), lambda bh, ki, qi: (bh, ki, 0)),
+            pl.BlockSpec((1, block_k, dv), lambda bh, ki, qi: (bh, ki, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, lkp, dk_dim), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, lkp, dv), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, dk_dim), jnp.float32),
+            pltpu.VMEM((block_k, dv), jnp.float32),
+        ],
+    )(seed_arr, qf, kf, vf, gf, lse_f, delta_f, mp)
+
+    dq_kernel = functools.partial(_bwd_dq_kernel, temperature=temperature,
+                                  num_k_blocks=nk, dropout=dropout)
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(b * h, nq, nk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, dk_dim), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, block_k, dk_dim), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, block_k, dv), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, block_q, dv), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda bh, qi, ki: (bh, 0, qi)),
+            pl.BlockSpec((1, 1, block_q), lambda bh, qi, ki: (bh, 0, qi)),
+            pl.BlockSpec((1, 1, block_k),
+                         lambda bh, qi, ki: (bh // h, 0, ki)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dk_dim),
+                               lambda bh, qi, ki: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, lqp, dk_dim), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_q, dk_dim), jnp.float32)],
+    )(seed_arr, qf, kf, vf, gf, lse_f, delta_f, mp)
+
+    dq = dq.reshape(b, h, lqp, dk_dim)[:, :, :lq].astype(q.dtype)
+    dk = dk.reshape(b, h, lkp, dk_dim)[:, :, :lk].astype(k.dtype)
+    dv_out = dv_out.reshape(b, h, lkp, dv)[:, :, :lk].astype(v.dtype)
+    return dq, dk, dv_out
 
 
-flash_attention.defvjp(_fwd, _bwd)
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def flash_attention(q, k, v, kv_mask=None, seed=None,
+                    temperature: float = 1.0, dropout: float = 0.0):
+    """[B, H, Lq, Dk] x [B, H, Lk, Dk] x [B, H, Lk, Dv] -> [B, H, Lq, Dv].
+
+    Fully Pallas: flash forward + flash backward, deterministic in-kernel
+    attention dropout (same mask in fwd/bwd). `seed` is a traced int32 scalar
+    (vary it per training step)."""
+    out, _ = _flash_forward(q, k, v, kv_mask, temperature, dropout, seed)
+    return out
+
+
+def _fa_fwd(q, k, v, kv_mask, seed, temperature, dropout):
+    out, lse = _flash_forward(q, k, v, kv_mask, temperature, dropout, seed)
+    return out, (q, k, v, kv_mask, seed, out, lse)
+
+
+def _fa_bwd(temperature, dropout, res, g):
+    q, k, v, kv_mask, seed, out, lse = res
+    dq, dk, dv = _flash_backward(q, k, v, kv_mask, out, lse, g, temperature,
+                                 dropout, seed)
+    return dq, dk, dv, None, None
+
+
+flash_attention.defvjp(_fa_fwd, _fa_bwd)

@@ -91,6 +91,9 @@ def retrieval_measure(
 ) -> np.ndarray:
     """Full [N_q, N_k] mean-of-max cosine matrix, computed in device blocks."""
     nq = q_feats.shape[0]
+    # transfer the key set once (it can be GBs for the big categories)
+    k_dev = jax.device_put(jnp.asarray(k_feats))
+    km_dev = jax.device_put(jnp.asarray(k_mask))
     rows = []
     for s in range(0, nq, query_block):
         e = min(s + query_block, nq)
@@ -101,8 +104,8 @@ def retrieval_measure(
             qb = np.concatenate([qb, np.repeat(qb[-1:], padn, 0)], axis=0)
             qm = np.concatenate([qm, np.repeat(qm[-1:], padn, 0)], axis=0)
         r = np.asarray(_retrieval_block(
-            jnp.asarray(qb), jnp.asarray(qm), jnp.asarray(k_feats),
-            jnp.asarray(k_mask), key_chunk=key_chunk))
+            jnp.asarray(qb), jnp.asarray(qm), k_dev, km_dev,
+            key_chunk=key_chunk))
         rows.append(r[: e - s])
     return np.concatenate(rows, axis=0)
 

@@ -23,19 +23,25 @@ import optax
 
 class TraceState(NamedTuple):
     momentum: optax.Updates
+    step: jnp.ndarray
 
 
 def torch_sgd_momentum(momentum: float, dampening: float) -> optax.GradientTransformation:
-    """torch.optim.SGD momentum: buf <- momentum*buf + (1-dampening)*grad."""
+    """torch.optim.SGD momentum: buf <- momentum*buf + (1-dampening)*grad,
+    except the very first step where buf <- grad (torch initializes the
+    buffer to the raw first gradient, undampened)."""
 
     def init_fn(params):
-        return TraceState(jax.tree_util.tree_map(jnp.zeros_like, params))
+        return TraceState(jax.tree_util.tree_map(jnp.zeros_like, params),
+                          jnp.zeros((), jnp.int32))
 
     def update_fn(updates, state, params=None):
+        first = state.step == 0
         new_m = jax.tree_util.tree_map(
-            lambda m, g: momentum * m + (1.0 - dampening) * g,
+            lambda m, g: jnp.where(first, g,
+                                   momentum * m + (1.0 - dampening) * g),
             state.momentum, updates)
-        return new_m, TraceState(new_m)
+        return new_m, TraceState(new_m, state.step + 1)
 
     return optax.GradientTransformation(init_fn, update_fn)
 
