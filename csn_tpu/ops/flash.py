@@ -38,10 +38,13 @@ LANES = 128
 
 
 def _drop_mask(seed_ref, bh, qi, ki, shape, keep: float):
-    """Deterministic per-(bh, qi, ki) dropout keep-mask (the TPU PRNG accepts
-    at most two seed words; fold the grid position into one)."""
-    pltpu.prng_seed(seed_ref[0], (bh * 1000003 + qi * 769 + ki))
-    bits = pltpu.prng_random_bits(shape)  # uint32
+    """Deterministic per-(bh, qi, ki) dropout keep-mask. Two seed words:
+    the traced step seed and the folded grid position (this Mosaic version
+    supports at most two seed words; int32-overflow mixing is avoided)."""
+    pltpu.prng_seed(seed_ref[0, 0], bh * 1000003 + qi * 769 + ki)
+    # prng_random_bits yields *signed* int32 on this stack; bitcast before
+    # comparing, or the signed compare keeps ~everything.
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     thresh = jnp.uint32(int(keep * float(2 ** 32 - 1)))
     return bits < thresh
 
@@ -141,13 +144,13 @@ def _flash_forward(q, k, v, kv_mask, temperature: float, dropout: float = 0.0,
 
     kernel = functools.partial(_fwd_kernel, temperature=temperature,
                                num_k_blocks=nk, dropout=dropout)
-    seed_arr = (jnp.zeros((1,), jnp.int32) if seed is None
-                else jnp.asarray(seed, jnp.int32).reshape(1))
+    seed_arr = (jnp.zeros((1, 1), jnp.int32) if seed is None
+                else jnp.asarray(seed, jnp.int32).reshape(1, 1))
     out, lse = pl.pallas_call(
         kernel,
         grid=(b * h, nq, nk),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, dk), lambda bh, qi, ki: (bh, qi, 0)),
             pl.BlockSpec((1, block_k, dk), lambda bh, qi, ki: (bh, ki, 0)),
             pl.BlockSpec((1, block_k, dv), lambda bh, qi, ki: (bh, ki, 0)),
@@ -296,8 +299,8 @@ def _flash_backward(q, k, v, kv_mask, out, lse, g, temperature: float,
     delta_f = delta_p.reshape(b * h, 1, lqp)
 
     nq, nk = lqp // block_q, lkp // block_k
-    seed_arr = (jnp.zeros((1,), jnp.int32) if seed is None
-                else jnp.asarray(seed, jnp.int32).reshape(1))
+    seed_arr = (jnp.zeros((1, 1), jnp.int32) if seed is None
+                else jnp.asarray(seed, jnp.int32).reshape(1, 1))
 
     dkv_kernel = functools.partial(_bwd_dkv_kernel, temperature=temperature,
                                    num_q_blocks=nq, dropout=dropout)
@@ -305,7 +308,7 @@ def _flash_backward(q, k, v, kv_mask, out, lse, g, temperature: float,
         dkv_kernel,
         grid=(b * h, nk, nq),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, dk_dim), lambda bh, ki, qi: (bh, qi, 0)),
             pl.BlockSpec((1, block_k, dk_dim), lambda bh, ki, qi: (bh, ki, 0)),
             pl.BlockSpec((1, block_k, dv), lambda bh, ki, qi: (bh, ki, 0)),
@@ -335,7 +338,7 @@ def _flash_backward(q, k, v, kv_mask, out, lse, g, temperature: float,
         dq_kernel,
         grid=(b * h, nq, nk),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, dk_dim), lambda bh, qi, ki: (bh, qi, 0)),
             pl.BlockSpec((1, block_k, dk_dim), lambda bh, qi, ki: (bh, ki, 0)),
             pl.BlockSpec((1, block_k, dv), lambda bh, qi, ki: (bh, ki, 0)),

@@ -21,8 +21,9 @@ def _flash_interpret(q, k, v, mask, temperature):
 
     pl.pallas_call = patched
     try:
-        return F._flash_forward(q, k, v, mask, temperature,
-                                block_q=16, block_k=128)
+        out, _lse = F._flash_forward(q, k, v, mask, temperature,
+                                     block_q=16, block_k=128)
+        return out
     finally:
         pl.pallas_call = orig
 

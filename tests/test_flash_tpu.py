@@ -1,0 +1,69 @@
+"""TPU-hardware flash-attention tests (compiled Mosaic path).
+
+The CPU suite exercises the kernels in interpreter mode; these run the real
+compiled kernels and the full custom-vjp backward. They need the TPU, so they
+are skipped unless RUN_TPU_TESTS=1 (run via:
+  RUN_TPU_TESTS=1 python -m pytest tests/test_flash_tpu.py --no-header -q
+from an environment where jax sees the TPU)."""
+
+import os
+
+import numpy as np
+import pytest
+
+RUN = os.environ.get("RUN_TPU_TESTS", "0") == "1"
+pytestmark = pytest.mark.skipif(not RUN, reason="RUN_TPU_TESTS != 1")
+
+if RUN:
+    # undo the CPU forcing of conftest for this module's process
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        pytestmark = pytest.mark.skip(reason="no TPU visible")
+
+
+def setup_module(module):
+    global jax, jnp, flash_attention, scaled_dot_product_attention
+    import jax
+    import jax.numpy as jnp
+    from csn_tpu.ops.flash import flash_attention
+    from csn_tpu.ops.attention import scaled_dot_product_attention
+
+
+def test_flash_fwd_bwd_exact_on_tpu():
+    rng = np.random.default_rng(0)
+    B, H, Lq, Lk, D = 2, 4, 700, 1500, 64
+    q = jnp.asarray(rng.normal(size=(B, H, Lq, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, Lk, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, Lk, D)).astype(np.float32))
+    mask = np.ones((B, Lk), dtype=bool)
+    mask[0, 1200:] = False
+    mask = jnp.asarray(mask)
+
+    ref = scaled_dot_product_attention(q, k, v, mask, temperature=8.0)
+    out = flash_attention(q, k, v, mask, temperature=8.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+    gr = jax.grad(lambda q: jnp.sum(scaled_dot_product_attention(
+        q, k, v, mask, temperature=8.0) ** 2))(q)
+    gf = jax.grad(lambda q: jnp.sum(flash_attention(
+        q, k, v, mask, temperature=8.0) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-3)
+
+
+def test_flash_dropout_seed_sensitivity_and_mean():
+    rng = np.random.default_rng(1)
+    B, H, L, D = 1, 2, 512, 64
+    q = jnp.asarray(rng.normal(size=(B, H, L, D)).astype(np.float32))
+    mask = jnp.ones((B, L), dtype=bool)
+    f = jax.jit(lambda q, s: flash_attention(q, q, q, mask, s,
+                                             temperature=8.0, dropout=0.5))
+    outs = [np.asarray(f(q, jnp.asarray([s * 7 + 1]))) for s in range(16)]
+    assert np.abs(outs[0] - outs[1]).max() > 0, "dropout mask ignores the seed"
+    ref = np.asarray(scaled_dot_product_attention(q, q, q, mask,
+                                                  temperature=8.0))
+    mean = np.mean(outs, axis=0)
+    mean_dev = np.abs(mean - ref).mean()
+    single_dev = np.abs(outs[0] - ref).mean()
+    # averaging over seeds must shrink the dropout noise substantially
+    assert mean_dev < 0.5 * single_dev
