@@ -180,6 +180,13 @@ class BaseTrainer:
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
         self.opt_state = self.optimizer.init(self.params)
+        # `--weights` pretrained load (`lib/config.py:47`): restore params +
+        # batch stats from a checkpoint file, keep the fresh optimizer state.
+        if getattr(self.config, "weights", "None") not in (None, "", "None"):
+            tree, _ = load_checkpoint(self.config.weights, self._tree_state())
+            self.params = tree["params"]
+            self.batch_stats = tree["batch_stats"]
+            logging.info("===> Loaded weights from %s", self.config.weights)
         n_params = sum(int(np.prod(p.shape))
                        for p in jax.tree_util.tree_leaves(self.params))
         logging.info("===> Number of trainable parameters: %d", n_params)
