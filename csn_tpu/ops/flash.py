@@ -66,13 +66,18 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, out_ref, lse_ref,
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
-    q = q_ref[0].astype(jnp.float32) * (1.0 / temperature)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    # bf16 operands + explicit DEFAULT precision (a global f32 matmul
+    # precision would force fp32 contract precision onto bf16 operands,
+    # which Mosaic rejects).
+    q = (q_ref[0].astype(jnp.float32) * (1.0 / temperature)).astype(
+        jnp.bfloat16)
+    k = k_ref[0].astype(jnp.bfloat16)
+    v = v_ref[0].astype(jnp.bfloat16)
     msk = mask_ref[0, 0]
 
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32)
     s = jnp.where(msk[None, :] != 0, s, NEG_INF)
 
@@ -91,7 +96,9 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, out_ref, lse_ref,
         p_num = p
 
     acc_scratch[...] = acc_scratch[...] * scale + jax.lax.dot_general(
-        p_num, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        p_num.astype(jnp.bfloat16), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32)
 
     m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
@@ -193,21 +200,25 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     inv_t = 1.0 / temperature
     q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.bfloat16)
+    v = v_ref[0].astype(jnp.bfloat16)
     do = do_ref[0].astype(jnp.float32)
     lse = lse_ref[0, 0]
     delta = delta_ref[0, 0]
     msk = mask_ref[0, 0]
 
     s = jax.lax.dot_general(
-        q * inv_t, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        (q * inv_t).astype(jnp.bfloat16), k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32)        # [BQ, BK]
     s = jnp.where(msk[None, :] != 0, s, NEG_INF)
     p = jnp.exp(s - lse[:, None])                  # true softmax probs
 
     dp = jax.lax.dot_general(
-        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        do.astype(jnp.bfloat16), v,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32)        # [BQ, BK]
 
     if dropout > 0.0:
@@ -222,10 +233,14 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     ds = p * (dpd - delta[:, None])                # [BQ, BK]
 
     dv_scratch[...] += jax.lax.dot_general(
-        p_num, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        p_num.astype(jnp.bfloat16), do.astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32)        # [BK, D]
     dk_scratch[...] += jax.lax.dot_general(
-        ds, q * inv_t, dimension_numbers=(((0,), (0,)), ((), ())),
+        ds.astype(jnp.bfloat16), (q * inv_t).astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32)        # [BK, D]
 
     @pl.when(qi == num_q_blocks - 1)
@@ -247,21 +262,25 @@ def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     inv_t = 1.0 / temperature
     q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.bfloat16)
+    v = v_ref[0].astype(jnp.bfloat16)
     do = do_ref[0].astype(jnp.float32)
     lse = lse_ref[0, 0]
     delta = delta_ref[0, 0]
     msk = mask_ref[0, 0]
 
     s = jax.lax.dot_general(
-        q * inv_t, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        (q * inv_t).astype(jnp.bfloat16), k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32)
     s = jnp.where(msk[None, :] != 0, s, NEG_INF)
     p = jnp.exp(s - lse[:, None])
 
     dp = jax.lax.dot_general(
-        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        do.astype(jnp.bfloat16), v,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32)
 
     if dropout > 0.0:
@@ -273,7 +292,9 @@ def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     ds = p * (dpd - delta[:, None])
     dq_scratch[...] += jax.lax.dot_general(
-        ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        ds.astype(jnp.bfloat16), k,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32) * inv_t
 
     @pl.when(ki == num_k_blocks - 1)

@@ -14,6 +14,7 @@
 #include <cstring>
 #include <cmath>
 #include <unordered_map>
+#include <algorithm>
 #include <vector>
 
 namespace {
@@ -49,28 +50,36 @@ void* csn_shape_create(const float* pts, int64_t n_points, int32_t n_levels) {
   s->levels.resize(n_levels);
   s->p2v.resize(n_points);
 
-  // Level 0: floor-quantize, first-occurrence order (matches the numpy path).
+  // Level 0: floor-quantize, then sort voxels lexicographically by
+  // (x, y, z). Sorted order is what makes the windowed Pallas conv possible:
+  // every kernel offset then maps a contiguous output tile into a narrow
+  // source-index window (core/window_conv.py). The packed key is
+  // lexicographic by construction, so sorting keys == sorting coords.
   Level& l0 = s->levels[0];
   l0.map.reserve(n_points * 2);
-  l0.coords.reserve(n_points * 3);
+  std::vector<uint64_t> pkeys(n_points);
   for (int64_t i = 0; i < n_points; ++i) {
     int64_t x = (int64_t)std::floor(pts[i * 3 + 0]);
     int64_t y = (int64_t)std::floor(pts[i * 3 + 1]);
     int64_t z = (int64_t)std::floor(pts[i * 3 + 2]);
-    uint64_t key = pack(x, y, z);
-    auto it = l0.map.find(key);
-    int32_t idx;
-    if (it == l0.map.end()) {
-      idx = (int32_t)l0.n;
-      l0.map.emplace(key, idx);
-      l0.coords.push_back((int32_t)x);
-      l0.coords.push_back((int32_t)y);
-      l0.coords.push_back((int32_t)z);
-      l0.n++;
-    } else {
-      idx = it->second;
-    }
-    s->p2v[i] = idx;
+    pkeys[i] = pack(x, y, z);
+  }
+  std::vector<uint64_t> uniq(pkeys);
+  std::sort(uniq.begin(), uniq.end());
+  uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
+  l0.n = (int64_t)uniq.size();
+  l0.coords.resize(l0.n * 3);
+  const uint64_t B21 = 1ull << 20;
+  const uint64_t M21 = (1ull << 21) - 1;
+  for (int64_t j = 0; j < l0.n; ++j) {
+    uint64_t key = uniq[j];
+    l0.coords[j * 3 + 0] = (int32_t)((key >> 42) & M21) - (int32_t)B21;
+    l0.coords[j * 3 + 1] = (int32_t)((key >> 21) & M21) - (int32_t)B21;
+    l0.coords[j * 3 + 2] = (int32_t)(key & M21) - (int32_t)B21;
+    l0.map.emplace(key, (int32_t)j);
+  }
+  for (int64_t i = 0; i < n_points; ++i) {
+    s->p2v[i] = l0.map.find(pkeys[i])->second;
   }
 
   // Higher levels: floor-div by 2^l * 2^l, dedup in parent order.
