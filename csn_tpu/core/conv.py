@@ -53,24 +53,33 @@ def _conv_impl(feats, kmap, weights, accum_dtype=jnp.float32,
 
     if cin < cout and cin < 16:
         # transform first: h[k] = feats @ W[k]  (cheap: small cin), then
-        # gather wide rows.
+        # gather wide rows. Scan keeps the [K, N, Cout] intermediate out of
+        # HBM.
         def body(carry, inputs):
             idx, w = inputs
             h = jnp.dot(feats, w, preferred_element_type=accum_dtype)
             g = _gather_rows(h, idx)
             return carry + g, None
-    else:
-        def body(carry, inputs):
-            idx, w = inputs
-            g = _gather_rows(feats, idx)
-            return carry + jnp.dot(g, w, preferred_element_type=accum_dtype), \
-                None
 
-    init = jnp.zeros((n_out, cout), dtype=accum_dtype)
-    body_fn = jax.checkpoint(body) if remat else body
-    # (scan unroll>1 gains ~18% runtime but multiplies compile time across
-    # the ~90 convs of a full model — not worth it)
-    out, _ = jax.lax.scan(body_fn, init, (kmap, weights))
+        init = jnp.zeros((n_out, cout), dtype=accum_dtype)
+        body_fn = jax.checkpoint(body) if remat else body
+        out, _ = jax.lax.scan(body_fn, init, (kmap, weights))
+        return out.astype(feats.dtype)
+
+    # One batched gather + einsum: ~20% faster than a scan over offsets on
+    # v5e (XLA overlaps the big gather with the matmuls) and much faster to
+    # compile (no loop).
+    if remat:
+        def conv_all(feats):
+            g = _gather_rows(feats, kmap)  # [K, N_out, Cin]
+            return jnp.einsum("knc,kcd->nd", g, weights,
+                              preferred_element_type=accum_dtype)
+
+        out = jax.checkpoint(conv_all)(feats)
+    else:
+        g = _gather_rows(feats, kmap)
+        out = jnp.einsum("knc,kcd->nd", g, weights,
+                         preferred_element_type=accum_dtype)
     return out.astype(feats.dtype)
 
 
@@ -111,20 +120,11 @@ def _tvjp_bwd(mirror, res, g):
     #   d_W[k]  = feats^T . gg                          (contract N_in)
     # (dW identity: sum_i f[kmap[k][i]] g[i]^T == f^T gather(g, kmap_t[k]),
     # because each offset map is a partial permutation.)
-    def body(carry, inputs):
-        idx_t, w = inputs
-        gg = _gather_rows(g, idx_t)  # [N_in, Cout]
-        df_k = jax.lax.dot_general(
-            gg, w.astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dw_k = jax.lax.dot_general(
-            f32, gg, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return carry + df_k, dw_k
-
-    df_init = jnp.zeros((feats.shape[0], weights.shape[1]), jnp.float32)
-    d_feats, d_w_t = jax.lax.scan(body, df_init, (kmap_t, w_for_t))
+    gg = _gather_rows(g, kmap_t)  # [K, N_in, Cout] (one batched gather)
+    d_feats = jnp.einsum("knd,kcd->nc", gg, w_for_t.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+    d_w_t = jnp.einsum("nc,knd->kcd", f32, gg,
+                       preferred_element_type=jnp.float32)
     # d_w_t[k] corresponds to transpose-offset k -> un-mirror for same maps.
     d_w = d_w_t[::-1] if mirror else d_w_t
 

@@ -38,29 +38,138 @@ WINDOW = 1024       # source rows DMA'd per (tile, offset)
 
 
 def window_meta(kmap: np.ndarray, n_in: int, tile: int = TILE,
-                window: int = WINDOW) -> Optional[np.ndarray]:
-    """Per-(tile, offset) window starts [n_tiles, K] int32, or None if any
-    (tile, offset) has an index spread that does not fit `window`."""
+                window: int = WINDOW, group: int = 1) -> Optional[np.ndarray]:
+    """Per-(tile, offset-group) window starts [n_tiles, K//group] int32, or
+    None if any group's index spread does not fit `window`.
+
+    `group` merges consecutive offsets into one shared window: for a cubic
+    kernel the last axis varies fastest, so the `ksize` offsets that differ
+    only in dz index near-identical source ranges (sorted voxel order is
+    z-fastest) — one window serves all of them (group=ksize)."""
     K, n_out = kmap.shape
-    if n_out % tile != 0:
+    if n_out % tile != 0 or K % group != 0:
         return None
     n_tiles = n_out // tile
-    starts = np.zeros((n_tiles, K), dtype=np.int32)
+    ng = K // group
+    starts = np.zeros((n_tiles, ng), dtype=np.int32)
     hi_cap = max(n_in - window, 0)
     t_idx = kmap.reshape(K, n_tiles, tile)
     for t in range(n_tiles):
-        for k in range(K):
-            rows = t_idx[k, t]
+        for g in range(ng):
+            rows = t_idx[g * group:(g + 1) * group, t]
             valid = rows[rows < n_in]
             if valid.size == 0:
-                starts[t, k] = 0
+                starts[t, g] = 0
                 continue
             lo = int(valid.min())
             hi = int(valid.max())
             if hi - lo >= window:
                 return None
-            starts[t, k] = min(lo, hi_cap)
+            starts[t, g] = min(lo, hi_cap)
     return starts
+
+
+def _wconv_kernel_grouped(starts_ref,    # scalar prefetch [n_tiles * NG]
+                          kmap_ref,      # [K, TILE] int32 (block per tile)
+                          feats_hbm,     # [N_pad, C] in HBM
+                          w_ref,         # [K, C, Cout] VMEM
+                          out_ref,       # [TILE, Cout]
+                          win_scratch, acc_scratch, sem,
+                          *, K: int, group: int, window: int, n_in: int):
+    t = pl.program_id(0)
+    ng = K // group
+    acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    def get_dma(slot, g):
+        start = starts_ref[t * ng + g]
+        return pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(start, window), :],
+            win_scratch.at[slot],
+            sem.at[slot],
+        )
+
+    get_dma(0, 0).start()
+
+    def body(g, _):
+        slot = jax.lax.rem(g, 2)
+        nxt = jax.lax.rem(g + 1, 2)
+
+        @pl.when(g + 1 < ng)
+        def _():
+            get_dma(nxt, g + 1).start()
+
+        get_dma(slot, g).wait()
+        start = starts_ref[t * ng + g]
+        win_bf = win_scratch[slot].astype(jnp.bfloat16)
+
+        def inner(j, _):
+            k = g * group + j
+            rows = kmap_ref[k, :]
+            rel = rows - start
+            cols = jax.lax.broadcasted_iota(jnp.int32, (TILE, window), 1)
+            one_bits = jnp.int32(0x3F800000)
+            hit = jnp.where(rel[:, None] == cols, one_bits, 0)
+            valid_row = jnp.where(rows < n_in, one_bits, 0)
+            onehot = pltpu.bitcast(hit & valid_row[:, None],
+                                   jnp.float32).astype(jnp.bfloat16)
+            gthr = jax.lax.dot_general(
+                onehot, win_bf,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
+            acc_scratch[...] += jax.lax.dot_general(
+                gthr.astype(jnp.bfloat16), w_ref[k].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
+            return ()
+
+        jax.lax.fori_loop(0, group, inner, (), unroll=True)
+        return ()
+
+    jax.lax.fori_loop(0, ng, body, (), unroll=False)
+    out_ref[...] = acc_scratch[...].astype(out_ref.dtype)
+
+
+def window_conv_grouped(feats, kmap, starts, weights, *, group: int,
+                        window: int = WINDOW):
+    """Grouped windowed conv: one DMA'd window serves `group` consecutive
+    offsets (the dz neighbors of a cubic kernel)."""
+    n_in, cin = feats.shape
+    K, n_out = kmap.shape
+    cout = weights.shape[-1]
+    n_tiles = n_out // TILE
+    assert n_out % TILE == 0 and K % group == 0
+
+    cpad = (-cin) % 128
+    pad = max(window - n_in, 0)
+    feats_p = jnp.pad(feats, ((0, pad), (0, cpad)))
+    weights = jnp.pad(weights, ((0, 0), (0, cpad), (0, 0)))
+    cin = cin + cpad
+
+    kern = functools.partial(_wconv_kernel_grouped, K=K, group=group,
+                             window=window, n_in=n_in)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((K, TILE), lambda t, s: (0, t)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, cout), lambda t, s: (t, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, window, cin), feats.dtype),
+            pltpu.VMEM((TILE, cout), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out, cout), feats.dtype),
+    )(starts.reshape(-1), kmap, feats_p, weights)
+    return out
 
 
 def _wconv_kernel(starts_ref,            # scalar prefetch [n_tiles * K]
