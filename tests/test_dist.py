@@ -83,6 +83,40 @@ def test_dp_train_step_runs_and_matches_single_device_grads():
     assert abs(manual - float(loss)) < 1e-3
 
 
+def test_dp_eval_step_matches_single_device():
+    from csn_tpu.parallel.dp import make_dp_eval_step
+    from csn_tpu.core.interp import interpolate_to_points
+
+    n_dev = 2
+    mesh = make_mesh(n_dev)
+    cls = load_model("HRNetSimCSN2S")
+    spec = pyramid_spec_for_model(cls, num_points=48, voxel_size=0.3,
+                                  conv1_kernel_size=3, shrink=1.5)
+    model = cls(out_channels=4, conv1_kernel_size=3, k_neighbors=1,
+                d_model=16, n_head=2, attn_dropout=0.0)
+    per_dev_q = [collate_shapes(make_shapes(2, 48, seed=d), spec)
+                 for d in range(n_dev)]
+    per_dev_k = [collate_shapes(make_shapes(2, 48, seed=50 + d), spec)
+                 for d in range(n_dev)]
+    stacked_q = shard_stacked(stack_batches(per_dev_q), mesh)
+    stacked_k = (shard_stacked(stack_batches(per_dev_k), mesh),)
+    variables = jax.jit(lambda r, b, ks: model.init(r, b, ks, train=False))(
+        jax.random.PRNGKey(0), per_dev_q[0].to_jax(), (per_dev_k[0].to_jax(),))
+    params, stats = variables["params"], variables.get("batch_stats", {})
+
+    step = make_dp_eval_step(model, mesh, k_neighbors=1)
+    out = np.asarray(step(params, stats, stacked_q, stacked_k))
+    assert out.shape[0] == n_dev
+
+    for d in range(n_dev):
+        qb, kb = per_dev_q[d].to_jax(), per_dev_k[d].to_jax()
+        logits = model.apply({"params": params, "batch_stats": stats}, qb,
+                             (kb,), train=False)
+        pl = np.asarray(interpolate_to_points(logits, qb.interp_idx,
+                                              qb.interp_w))
+        np.testing.assert_allclose(out[d], pl, rtol=1e-4, atol=1e-5)
+
+
 def test_sharded_retrieval_matches_single_device():
     from csn_tpu.parallel.dp import sharded_retrieval_measure
     from csn_tpu.retrieval.graph import retrieval_measure

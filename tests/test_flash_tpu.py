@@ -67,3 +67,47 @@ def test_flash_dropout_seed_sensitivity_and_mean():
     single_dev = np.abs(outs[0] - ref).mean()
     # averaging over seeds must shrink the dropout noise substantially
     assert mean_dev < 0.5 * single_dev
+
+
+def test_window_conv_exact_on_tpu():
+    """Windowed one-hot gather conv vs the plain gather path (bf16-level)."""
+    from csn_tpu.core.pyramid import MapSpec, PyramidSpec, QMode, \
+        build_voxel_batch
+    from csn_tpu.core.window_conv import window_conv, window_conv_grouped, \
+        window_meta
+    from csn_tpu.core.conv import sparse_conv
+
+    rng = np.random.default_rng(0)
+
+    def surface(n=10000):
+        v = rng.normal(size=(n, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        r = rng.uniform(0.4, 1.0, size=(n, 1))
+        return ((v * r).astype(np.float32),
+                np.zeros((n, 1), np.float32), np.zeros(n, np.int32))
+
+    B, L = 4, 5120
+    spec = PyramidSpec(voxel_size=0.05, num_points=10000, level_caps=(L,),
+                       maps=(MapSpec("same", 0, 3),),
+                       qmode=QMode.UNWEIGHTED_AVERAGE)
+    vb = build_voxel_batch([surface() for _ in range(B)], spec)
+    kmap_np = vb.kmaps["same0k3"]
+    N = B * L
+    C = 64
+    feats = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(27, C, C)).astype(np.float32) * 0.1)
+    kmap = jnp.asarray(kmap_np)
+    ref = np.asarray(sparse_conv(feats, kmap, w))
+    scale = np.abs(ref).max()
+
+    meta = window_meta(kmap_np, N, window=512)
+    assert meta is not None, "sorted voxel order should fit 512-windows"
+    out = np.asarray(window_conv(feats, kmap, jnp.asarray(meta), w,
+                                 window=512))
+    assert np.abs(out - ref).max() < 0.01 * scale
+
+    metag = window_meta(kmap_np, N, window=512, group=3)
+    assert metag is not None
+    outg = np.asarray(window_conv_grouped(feats, kmap, jnp.asarray(metag), w,
+                                          group=3, window=512))
+    assert np.abs(outg - ref).max() < 0.01 * scale
