@@ -14,8 +14,11 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+# RUN_TPU_TESTS=1 runs the hardware test modules (tests/test_flash_tpu.py)
+# against the real TPU instead of the virtual CPU mesh.
+if os.environ.get("RUN_TPU_TESTS", "0") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 # This JAX build defaults matmul operand precision to bf16 (TPU-style) even on
 # CPU; tests validate numerics against float64 references, so pin f32.

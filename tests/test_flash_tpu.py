@@ -15,7 +15,6 @@ RUN = os.environ.get("RUN_TPU_TESTS", "0") == "1"
 pytestmark = pytest.mark.skipif(not RUN, reason="RUN_TPU_TESTS != 1")
 
 if RUN:
-    # undo the CPU forcing of conftest for this module's process
     import jax
 
     if jax.devices()[0].platform == "cpu":
@@ -40,15 +39,17 @@ def test_flash_fwd_bwd_exact_on_tpu():
     mask[0, 1200:] = False
     mask = jnp.asarray(mask)
 
-    ref = scaled_dot_product_attention(q, k, v, mask, temperature=8.0)
-    out = flash_attention(q, k, v, mask, temperature=8.0)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+    ref = np.asarray(scaled_dot_product_attention(q, k, v, mask,
+                                                   temperature=8.0))
+    out = np.asarray(flash_attention(q, k, v, mask, temperature=8.0))
+    # kernels use bf16 MXU operands -> bf16-level tolerance
+    assert np.abs(out - ref).max() < 0.01 * np.abs(ref).max()
 
-    gr = jax.grad(lambda q: jnp.sum(scaled_dot_product_attention(
-        q, k, v, mask, temperature=8.0) ** 2))(q)
-    gf = jax.grad(lambda q: jnp.sum(flash_attention(
-        q, k, v, mask, temperature=8.0) ** 2))(q)
-    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-3)
+    gr = np.asarray(jax.grad(lambda q: jnp.sum(scaled_dot_product_attention(
+        q, k, v, mask, temperature=8.0) ** 2))(q))
+    gf = np.asarray(jax.grad(lambda q: jnp.sum(flash_attention(
+        q, k, v, mask, temperature=8.0) ** 2))(q))
+    assert np.abs(gf - gr).max() < 0.03 * np.abs(gr).max()
 
 
 def test_flash_dropout_seed_sensitivity_and_mean():
