@@ -158,6 +158,8 @@ def get_config(argv=None) -> Config:
     """Parse CLI into a Config (+ `--distort_partnet` expansion). If
     `--resume DIR` is given, reload DIR/config.json first and let explicit CLI
     flags override it (`tasks/main_csn.py:32-35` semantics)."""
+    import sys
+
     parser = _add_args(argparse.ArgumentParser())
     args = parser.parse_args(argv)
     cfg = Config(**vars(args))
@@ -168,7 +170,15 @@ def get_config(argv=None) -> Config:
         if os.path.isfile(cfg_path):
             with open(cfg_path) as fh:
                 saved = json.load(fh)
-            saved["resume"] = cfg.resume
-            saved["is_train"] = cfg.is_train
-            cfg = Config.from_dict(saved)
+            # flags given explicitly on this command line win over the saved
+            # config (resume/is_train always come from the CLI)
+            given = {a.lstrip("-").split("=")[0]
+                     for a in (argv if argv is not None else sys.argv[1:])
+                     if a.startswith("--")}
+            given |= {"resume", "is_train"}
+            merged = cfg.to_dict()
+            for k, v in saved.items():
+                if k not in given:
+                    merged[k] = v
+            cfg = Config.from_dict(merged)
     return cfg.normalized()
