@@ -83,8 +83,9 @@ def _conv_impl(feats, kmap, weights, accum_dtype=jnp.float32,
     return out.astype(feats.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def sparse_conv_tvjp(feats, weights, kmap, kmap_t, mirror: bool):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def sparse_conv_tvjp(feats, weights, kmap, kmap_t, win_starts,
+                     mirror: bool, win_group: int, win_window: int):
     """Sparse conv with an all-gather backward.
 
     Args:
@@ -96,16 +97,32 @@ def sparse_conv_tvjp(feats, weights, kmap, kmap_t, mirror: bool):
                kernels pass kmap itself with mirror=True (offset o's
                transpose edges live at offset -o = reversed product order).
       mirror:  pair d_out rows of offset k' with W[K-1-k'] (same-level maps).
+      win_starts: optional [n_tiles, K//win_group] window metadata — forward
+               runs the Pallas windowed-gather kernel (core/window_conv.py)
+               instead of the XLA gather. Backward is unaffected.
     """
+    return _conv_fwd_impl(feats, kmap, weights, win_starts, win_group,
+                          win_window)
+
+
+def _conv_fwd_impl(feats, kmap, weights, win_starts, win_group, win_window):
+    if win_starts is not None:
+        from csn_tpu.core.window_conv import window_conv_grouped
+
+        return window_conv_grouped(feats, kmap, win_starts, weights,
+                                   group=win_group, window=win_window,
+                                   nbuf=3)
     return _conv_impl(feats, kmap, weights)
 
 
-def _tvjp_fwd(feats, weights, kmap, kmap_t, mirror):
-    out = _conv_impl(feats, kmap, weights)
+def _tvjp_fwd(feats, weights, kmap, kmap_t, win_starts, mirror, win_group,
+              win_window):
+    out = _conv_fwd_impl(feats, kmap, weights, win_starts, win_group,
+                         win_window)
     return out, (feats, weights, kmap, kmap_t)
 
 
-def _tvjp_bwd(mirror, res, g):
+def _tvjp_bwd(mirror, win_group, win_window, res, g):
     feats, weights, kmap, kmap_t = res
     g = g.astype(jnp.float32)
     # weight paired with the transpose-map offset k: mirrored for same-level
@@ -129,7 +146,7 @@ def _tvjp_bwd(mirror, res, g):
     d_w = d_w_t[::-1] if mirror else d_w_t
 
     return (d_feats.astype(feats.dtype), d_w.astype(weights.dtype), None,
-            None)
+            None, None)
 
 
 sparse_conv_tvjp.defvjp(_tvjp_fwd, _tvjp_bwd)
@@ -141,16 +158,21 @@ def sparse_conv(
     weights: jnp.ndarray,
     kmap_t: jnp.ndarray = None,
     mirror: bool = False,
+    win_starts: jnp.ndarray = None,
+    win_group: int = 3,
+    win_window: int = 512,
     *,
     accum_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Apply a sparse convolution [N_in, Cin] -> [N_out, Cout].
 
     With `kmap_t` (transpose table), the fast all-gather backward is used;
-    without it, plain autodiff (scatter-add backward) applies.
+    without it, plain autodiff (scatter-add backward) applies. `win_starts`
+    additionally routes the forward through the Pallas windowed kernel.
     """
     if kmap_t is not None:
-        return sparse_conv_tvjp(feats, weights, kmap, kmap_t, mirror)
+        return sparse_conv_tvjp(feats, weights, kmap, kmap_t, win_starts,
+                                mirror, win_group, win_window)
     return _conv_impl(feats, kmap, weights, accum_dtype, remat=True)
 
 

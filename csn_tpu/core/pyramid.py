@@ -89,6 +89,11 @@ class PyramidSpec:
     level_caps: Tuple[int, ...]       # L_l: per-shape voxel capacity per level
     maps: Tuple[MapSpec, ...]
     qmode: QMode = QMode.RANDOM_SUBSAMPLE
+    # Emit per-(tile, offset-group) window metadata so eligible convs run the
+    # Pallas windowed-gather kernel (core/window_conv.py). TPU-only: leave
+    # False when the compute runs on CPU.
+    use_windows: bool = False
+    window_size: int = 512
 
     @property
     def num_levels(self) -> int:
@@ -484,6 +489,28 @@ def build_voxel_batch(
         ok = (li >= 0) & (li < n0)
         interp_idx[b, :p] = np.where(ok, b * L0 + li, B * L0).astype(np.int32)
         interp_w[b, :p] = np.where(ok, lw, 0.0)
+
+    if spec.use_windows:
+        # Windowed-conv metadata for the dominant conv type (stride-1 k3 at
+        # level 0 — the bulk of backbone compute). Restricted to this one map
+        # kind so the batch pytree structure is identical across batches
+        # (jit-signature stability); other maps keep the gather path.
+        from csn_tpu.core.window_conv import TILE, window_meta
+
+        for m in spec.maps:
+            if not (m.kind == "same" and m.level == 0 and m.ksize == 3):
+                continue
+            if (B * spec.level_caps[0]) % TILE != 0:
+                raise ValueError(
+                    f"use_windows requires B*level0_cap divisible by {TILE}")
+            meta = window_meta(kmaps[m.name], B * spec.level_caps[0],
+                               window=spec.window_size, group=m.ksize)
+            if meta is None:
+                raise ValueError(
+                    f"window_size={spec.window_size} too small for map "
+                    f"{m.name} on this batch; increase PyramidSpec."
+                    f"window_size or disable use_windows")
+            kmaps["win!" + m.name] = meta
 
     return VoxelBatch(
         points=points,

@@ -51,21 +51,18 @@ def window_meta(kmap: np.ndarray, n_in: int, tile: int = TILE,
         return None
     n_tiles = n_out // tile
     ng = K // group
-    starts = np.zeros((n_tiles, ng), dtype=np.int32)
     hi_cap = max(n_in - window, 0)
-    t_idx = kmap.reshape(K, n_tiles, tile)
-    for t in range(n_tiles):
-        for g in range(ng):
-            rows = t_idx[g * group:(g + 1) * group, t]
-            valid = rows[rows < n_in]
-            if valid.size == 0:
-                starts[t, g] = 0
-                continue
-            lo = int(valid.min())
-            hi = int(valid.max())
-            if hi - lo >= window:
-                return None
-            starts[t, g] = min(lo, hi_cap)
+    # [ng, group, n_tiles, tile] -> per (tile, group) min/max of valid rows
+    t_idx = kmap.reshape(ng, group, n_tiles, tile)
+    valid = t_idx < n_in
+    big = np.where(valid, t_idx, np.iinfo(np.int32).max)
+    small = np.where(valid, t_idx, -1)
+    lo = big.min(axis=(1, 3)).T        # [n_tiles, ng]
+    hi = small.max(axis=(1, 3)).T
+    any_valid = valid.any(axis=(1, 3)).T
+    if np.any(any_valid & (hi - lo >= window)):
+        return None
+    starts = np.where(any_valid, np.minimum(lo, hi_cap), 0).astype(np.int32)
     return starts
 
 
@@ -75,7 +72,8 @@ def _wconv_kernel_grouped(starts_ref,    # scalar prefetch [n_tiles * NG]
                           w_ref,         # [K, C, Cout] VMEM
                           out_ref,       # [TILE, Cout]
                           win_scratch, acc_scratch, sem,
-                          *, K: int, group: int, window: int, n_in: int):
+                          *, K: int, group: int, window: int, n_in: int,
+                          nbuf: int = 2):
     t = pl.program_id(0)
     ng = K // group
     acc_scratch[...] = jnp.zeros_like(acc_scratch)
@@ -88,15 +86,17 @@ def _wconv_kernel_grouped(starts_ref,    # scalar prefetch [n_tiles * NG]
             sem.at[slot],
         )
 
-    get_dma(0, 0).start()
+    # prefetch depth nbuf-1
+    for w0 in range(min(nbuf - 1, ng)):
+        get_dma(w0, w0).start()
 
     def body(g, _):
-        slot = jax.lax.rem(g, 2)
-        nxt = jax.lax.rem(g + 1, 2)
+        slot = jax.lax.rem(g, nbuf)
+        nxt_g = g + nbuf - 1
 
-        @pl.when(g + 1 < ng)
+        @pl.when(nxt_g < ng)
         def _():
-            get_dma(nxt, g + 1).start()
+            get_dma(jax.lax.rem(nxt_g, nbuf), nxt_g).start()
 
         get_dma(slot, g).wait()
         start = starts_ref[t * ng + g]
@@ -132,9 +132,10 @@ def _wconv_kernel_grouped(starts_ref,    # scalar prefetch [n_tiles * NG]
 
 
 def window_conv_grouped(feats, kmap, starts, weights, *, group: int,
-                        window: int = WINDOW):
+                        window: int = WINDOW, nbuf: int = 2):
     """Grouped windowed conv: one DMA'd window serves `group` consecutive
-    offsets (the dz neighbors of a cubic kernel)."""
+    offsets (the dz neighbors of a cubic kernel); `nbuf` window buffers
+    give a prefetch depth of nbuf-1."""
     n_in, cin = feats.shape
     K, n_out = kmap.shape
     cout = weights.shape[-1]
@@ -148,7 +149,7 @@ def window_conv_grouped(feats, kmap, starts, weights, *, group: int,
     cin = cin + cpad
 
     kern = functools.partial(_wconv_kernel_grouped, K=K, group=group,
-                             window=window, n_in=n_in)
+                             window=window, n_in=n_in, nbuf=nbuf)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -159,9 +160,9 @@ def window_conv_grouped(feats, kmap, starts, weights, *, group: int,
         ],
         out_specs=pl.BlockSpec((TILE, cout), lambda t, s: (t, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, window, cin), feats.dtype),
+            pltpu.VMEM((nbuf, window, cin), feats.dtype),
             pltpu.VMEM((TILE, cout), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )
     out = pl.pallas_call(

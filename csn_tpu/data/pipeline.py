@@ -24,6 +24,8 @@ def pyramid_spec_for_model(
     level0_cap: Optional[int] = None,
     qmode: QMode = QMode.RANDOM_SUBSAMPLE,
     shrink: float = 3.0,
+    use_windows: bool = False,
+    window_size: int = 512,
 ) -> PyramidSpec:
     """Derive the static pyramid signature a model needs."""
     nl = model_cls.num_levels()
@@ -37,6 +39,8 @@ def pyramid_spec_for_model(
         level_caps=tuple(level_caps),
         maps=tuple(maps),
         qmode=qmode,
+        use_windows=use_windows,
+        window_size=window_size,
     )
 
 

@@ -77,11 +77,14 @@ class SparseConv(nn.Module):
         kmap_t = batch.kmaps.get(t_name)
         if t_name == self.map_name:
             kmap_t = kmap
+        win_starts = batch.kmaps.get("win!" + self.map_name)
+        ksize = int(self.map_name.rsplit("k", 1)[1])
         b, l_in, cin = x.shape
         k = kmap.shape[0]
         w = self.param("kernel", _conv_kernel_init, (k, cin, self.features))
         out = sparse_conv(x.reshape(b * l_in, cin), kmap, w, kmap_t=kmap_t,
-                          mirror=mirror)
+                          mirror=mirror, win_starts=win_starts,
+                          win_group=ksize)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             out = out + bias[None, :]
