@@ -430,15 +430,30 @@ def build_voxel_batch(
             use_native = False
     builder = _shape_tables_native if use_native else _shape_tables_numpy
 
-    for b, (c, f, lab) in enumerate(shapes):
+    # Build the per-shape tables in parallel: the C++ engine releases the GIL
+    # during its calls, so a thread pool scales across cores and keeps the
+    # host pipeline off the training critical path.
+    pts_all = []
+    for (c, f, lab) in shapes:
         p = min(c.shape[0], P)
-        pts = np.asarray(c[:p], dtype=np.float64) / spec.voxel_size
+        pts_all.append(np.asarray(c[:p], dtype=np.float64) / spec.voxel_size)
+    if use_native and B > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(B, 8)) as ex:
+            tabs_all = list(ex.map(lambda a: builder(a, spec), pts_all))
+    else:
+        tabs_all = [builder(a, spec) for a in pts_all]
+
+    for b, (c, f, lab) in enumerate(shapes):
+        p = pts_all[b].shape[0]
+        pts = pts_all[b]
         points[b, :p] = pts.astype(np.float32)
         point_feats[b, :p] = f[:p]
         labels[b, :p] = np.asarray(lab[:p]).reshape(-1)
         point_mask[b, :p] = True
 
-        tabs = builder(pts, spec)
+        tabs = tabs_all[b]
         p2v = tabs["p2v"]
         feats_p = np.asarray(f[:p], dtype=np.float32)
         n0_full = tabs["coords"][0].shape[0]

@@ -197,10 +197,27 @@ class BaseTrainer:
     # -- data -----------------------------------------------------------------
     def _fetch_data(self, augment: bool = True):
         idxs = self.sampler.take(self.config.batch_size)
+        if self.K > 0:
+            # build the query batch and the K neighbor batches concurrently
+            # (independent work; each gets its own spawned generator)
+            from concurrent.futures import ThreadPoolExecutor
+
+            rngs = self.data_rng.spawn(1 + self.K)
+            nbr_idxs = [[self.train_dataset.neighbors[i][1][k] for i in idxs]
+                        for k in range(self.K)]
+            with ThreadPoolExecutor(max_workers=1 + self.K) as ex:
+                fq = ex.submit(build_batch_from_dataset, self.train_dataset,
+                               idxs, self.spec, rngs[0], augment)
+                fks = [ex.submit(build_batch_from_dataset,
+                                 self.train_dataset, nbr_idxs[k], self.spec,
+                                 rngs[1 + k], augment)
+                       for k in range(self.K)]
+                qb = fq.result()
+                keys = tuple(f.result().to_jax() for f in fks)
+            return qb.to_jax(), keys
         qb = build_batch_from_dataset(self.train_dataset, idxs, self.spec,
                                       self.data_rng, augment=augment)
-        keys = self._fetch_keys(self.train_dataset, idxs, augment)
-        return qb.to_jax(), keys
+        return qb.to_jax(), ()
 
     def _fetch_keys(self, key_dataset, idxs, augment):
         return ()
