@@ -13,7 +13,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
-from typing import Optional, Tuple
+from typing import Optional
 
 from csn_tpu.core.pyramid import QMode
 

@@ -25,7 +25,7 @@ maps whose spread exceeds W fall back to the plain gather path.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import jax

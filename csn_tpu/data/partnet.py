@@ -14,10 +14,9 @@ triples with on-the-fly augmentation; batching/voxelization happens in
 
 from __future__ import annotations
 
-import dataclasses
 import enum
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

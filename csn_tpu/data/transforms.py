@@ -12,7 +12,7 @@ scale (0.75, 1.25), shift (sigma=0.01, clip=0.05).
 
 from __future__ import annotations
 
-from typing import Callable, List, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

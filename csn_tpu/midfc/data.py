@@ -13,7 +13,7 @@ Served layout is TPU-friendly `[P, C]` (channel-last) instead of torch's
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -9,8 +9,6 @@ and `_make_layer` is only ever invoked with stride=1 in shipped configs
 
 from __future__ import annotations
 
-from typing import Optional
-
 from flax import linen as nn
 import jax.numpy as jnp
 

@@ -15,7 +15,7 @@ matches ME: its BatchNorm sees exactly the occupied voxels, never padding.
 from __future__ import annotations
 
 import enum
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,6 @@ Replaces both the per-batch-element attention loop of the reference
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ the KMeans candidate pruning used for big categories
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 import jax

@@ -8,9 +8,6 @@ Eval:   python -m csn_tpu.tasks.main_csn --is_train False --resume <log_dir>
 from __future__ import annotations
 
 import logging
-import sys
-
-import numpy as np
 
 from csn_tpu.config import Config, get_config
 from csn_tpu.data.partnet import NUM_SEG, make_partnet_dataset

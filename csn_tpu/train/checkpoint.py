@@ -13,7 +13,6 @@ scalars (no torch pickle)."""
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from typing import Any, Dict, Optional

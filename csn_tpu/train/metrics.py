@@ -21,7 +21,7 @@ exact host-side aggregation.
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 import jax.numpy as jnp

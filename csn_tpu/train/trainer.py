@@ -19,16 +19,13 @@ the jitted grad step `iter_size` times and averages on device.
 
 from __future__ import annotations
 
-import dataclasses
-import functools
 import logging
 import os
 import os.path as osp
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from csn_tpu.config import Config
 from csn_tpu.core.pyramid import PyramidSpec, build_voxel_batch

@@ -7,10 +7,7 @@ from __future__ import annotations
 import json
 import logging
 import os
-import socket
 import time
-from typing import Optional
-
 import numpy as np
 
 
