@@ -70,7 +70,10 @@ def main():
     from csn_tpu.train.losses import cross_entropy_ignore
     from csn_tpu.train.optim import make_optimizer
 
-    B, P, VOXEL, K = 8, 10000, 0.05, 1
+    import os as _os
+
+    B, P, VOXEL = 8, 10000, 0.05
+    K = int(_os.environ.get("BENCH_K", "1"))
     NUM_CLASSES = 39  # Chair
     rng = np.random.default_rng(0)
 
@@ -91,28 +94,31 @@ def main():
     t0 = time.time()
     qb_host = collate_shapes([make_surface_shape(rng, P) for _ in range(B)],
                              spec, rng=rng)
-    kb_host = collate_shapes([make_surface_shape(rng, P) for _ in range(B)],
-                             spec, rng=rng)
+    kb_hosts = [collate_shapes([make_surface_shape(rng, P)
+                                for _ in range(B)], spec, rng=rng)
+                for _ in range(max(K, 1))]
+    kb_host = kb_hosts[0]
     host_build_s = time.time() - t0
     occ = [int(n) for n in qb_host.num_voxels[0]]
     print(f"[bench] host batch build: {host_build_s:.2f}s for 2x{B} shapes; "
           f"voxels/shape: min={min(occ)} max={max(occ)}", file=sys.stderr)
 
-    qb, kb = qb_host.to_jax(), kb_host.to_jax()
+    qb = qb_host.to_jax()
+    kbs = tuple(k.to_jax() for k in kb_hosts[:K])
 
     variables = jax.jit(
         lambda r, b, ks: model.init(r, b, ks, train=False))(
-        jax.random.PRNGKey(0), qb, (kb,))
+        jax.random.PRNGKey(0), qb, kbs)
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     optimizer = make_optimizer(optimizer="SGD", lr=0.05)
     opt_state = optimizer.init(params)
 
     @jax.jit
-    def train_step(params, stats, opt_state, qb, kb, rng):
+    def train_step(params, stats, opt_state, qb, kbs, rng):
         def loss_fn(p):
             out, new_vars = model.apply(
-                {"params": p, "batch_stats": stats}, qb, (kb,), train=True,
+                {"params": p, "batch_stats": stats}, qb, kbs, train=True,
                 mutable=["batch_stats"], rngs={"dropout": rng})
             pl = interpolate_to_points(out, qb.interp_idx, qb.interp_w)
             loss = cross_entropy_ignore(pl, qb.labels, 255, qb.point_mask)
@@ -128,7 +134,7 @@ def main():
     key = jax.random.PRNGKey(1)
     t0 = time.time()
     params, stats, opt_state, loss = train_step(params, stats, opt_state, qb,
-                                                kb, key)
+                                                kbs, key)
     loss.block_until_ready()
     print(f"[bench] compile+first step: {time.time() - t0:.1f}s "
           f"loss={float(loss):.3f}", file=sys.stderr)
@@ -137,7 +143,7 @@ def main():
         t1 = time.time()
         key, sub = jax.random.split(key)
         params, stats, opt_state, loss = train_step(params, stats, opt_state,
-                                                    qb, kb, sub)
+                                                    qb, kbs, sub)
         loss.block_until_ready()
         print(f"[bench] warmup step {i}: {time.time() - t1:.2f}s",
               file=sys.stderr)
@@ -147,7 +153,7 @@ def main():
     for i in range(iters):
         key, sub = jax.random.split(key)
         params, stats, opt_state, loss = train_step(params, stats, opt_state,
-                                                    qb, kb, sub)
+                                                    qb, kbs, sub)
     loss.block_until_ready()
     dt = (time.time() - t0) / iters
     throughput = B / dt
