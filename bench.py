@@ -86,8 +86,10 @@ def main():
     # windowed convs are opt-in: fixed-size windows don't fit worst-case
     # planar geometry (see STATUS.md / core/window_conv.py)
     use_windows = os.environ.get("BENCH_WINDOWS", "0") == "1"
+    # level0 cap 5632: smallest cap with zero voxel truncation for this
+    # fixed-seed batch (a 5120 cap silently drops ~1% of voxels)
     spec = pyramid_spec_for_model(cls, num_points=P, voxel_size=VOXEL,
-                                  conv1_kernel_size=5, level0_cap=5120,
+                                  conv1_kernel_size=5, level0_cap=5632,
                                   shrink=3.0, use_windows=use_windows,
                                   window_size=1024)
 
