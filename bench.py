@@ -21,6 +21,7 @@ vs_baseline >= 2.0 meets the >=2x-V100 north star.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -63,6 +64,14 @@ def make_surface_shape(rng, n_points=10000):
 
 def main():
     import jax
+
+    # persistent compilation cache: repeat runs skip the ~2 min compile
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/tmp/jaxcache"))
+    except Exception:
+        pass
 
     from csn_tpu.core.interp import interpolate_to_points
     from csn_tpu.data.pipeline import collate_shapes, pyramid_spec_for_model

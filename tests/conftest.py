@@ -23,3 +23,11 @@ if os.environ.get("RUN_TPU_TESTS", "0") != "1":
 # This JAX build defaults matmul operand precision to bf16 (TPU-style) even on
 # CPU; tests validate numerics against float64 references, so pin f32.
 jax.config.update("jax_default_matmul_precision", "float32")
+
+# persistent compilation cache across test runs
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/jaxcache"))
+except Exception:
+    pass
