@@ -61,7 +61,6 @@ class Config:
     ignore_label: int = 255
     train_limit_numpoints: int = 0
     k_neighbors: int = 1
-    return_neighbors: bool = False
     partnet_path: str = ""
     partnet_category: str = ""
 
@@ -69,8 +68,6 @@ class Config:
     is_train: bool = True
     stat_freq: int = 40
     test_stat_freq: int = 100
-    save_freq: int = 1000
-    val_freq: int = 1000
     train_phase: str = "train"
     val_phase: str = "val"
     overwrite_weights: bool = True
@@ -100,7 +97,8 @@ class Config:
     num_points: int = 10000          # per-shape point capacity
     level0_cap: int = 0              # voxel capacity at stride 1 (0 = auto)
     level_shrink: float = 3.0        # capacity decay per level
-    use_flash: bool = False          # Pallas flash attention for SSA/CSA
+    use_flash: str = "auto"          # Pallas flash attention for SSA/CSA:
+                                     # 'auto' = on for TPU, off on CPU
     compute_dtype: str = "float32"   # 'float32' | 'bfloat16' activations
     data_parallel: int = 1           # devices for DP (parallel/ module)
 
@@ -115,6 +113,18 @@ class Config:
     def qmode(self) -> QMode:
         return QMode.UNWEIGHTED_AVERAGE if self.avg_feat else \
             QMode.RANDOM_SUBSAMPLE
+
+    def resolved_use_flash(self) -> bool:
+        """The default config is the fast path on TPU; on CPU (where Pallas
+        TPU kernels cannot run) the XLA attention core is auto-selected."""
+        v = str(self.use_flash).lower()
+        if v in ("true", "1"):
+            return True
+        if v in ("false", "0"):
+            return False
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
 
     def normalized(self) -> "Config":
         """Apply the derived-flag expansion of `get_config()`

@@ -124,8 +124,14 @@ def _prep(q, k, v, kv_mask, block_q, block_k):
     b, h, lq, dk = q.shape
     lk = k.shape[2]
     dv = v.shape[-1]
+    # Hardware-aligned block sizes: sublane multiples (8) on the q axis, lane
+    # multiples (128) on the kv axis — Mosaic may reject or mis-tile odd
+    # blocks (e.g. lq=500 from the MID-FC 500-point chunks). Padding below
+    # absorbs the remainder.
     block_q = min(block_q, max(8, lq))
+    block_q = -(-block_q // 8) * 8
     block_k = min(block_k, max(128, lk))
+    block_k = -(-block_k // 128) * 128
     qp, pad_q = _pad_to(q, 2, block_q)
     kp, pad_k = _pad_to(k, 2, block_k)
     vp, _ = _pad_to(v, 2, block_k)

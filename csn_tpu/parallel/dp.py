@@ -113,11 +113,16 @@ def make_dp_train_step(model, optimizer, mesh: Mesh, *, k_neighbors: int = 0,
         )(params, batch_stats, stacked_q, stacked_keys, rng)
 
     @jax.jit
-    def step(params, batch_stats, opt_state, stacked_q, stacked_keys, rng):
+    def step(params, batch_stats, opt_state, stacked_q, stacked_keys, rng,
+             lr=None):
         n_dev = mesh.devices.size
         rngs = jax.random.split(rng, n_dev)
         loss, grads, new_stats = sharded_grads(params, batch_stats, stacked_q,
                                                stacked_keys, rngs)
+        if lr is not None:
+            # schedule / plateau LR updates reach DP training the same way
+            # BaseTrainer.set_lr does: via the injected hyperparam.
+            opt_state.hyperparams["lr"] = jnp.asarray(lr, jnp.float32)
         updates, new_opt = optimizer.update(grads, opt_state, params)
         new_params = jax.tree_util.tree_map(lambda p, u: p + u, params,
                                             updates)

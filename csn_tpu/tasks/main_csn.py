@@ -27,7 +27,7 @@ def build_trainer(config: Config, phases=("train", "val")) -> CSNTrainer:
         d_model=config.d_model,
         n_head=config.n_head,
         k_neighbors=config.k_neighbors,
-        use_flash=config.use_flash,
+        use_flash=config.resolved_use_flash(),
     )
     spec = pyramid_spec_for_model(
         model_cls, num_points=config.num_points,

@@ -45,9 +45,33 @@ from csn_tpu.utils.timer import AverageMeter, Timer
 def build_batch_from_dataset(dataset, indices: Sequence[int],
                              spec: PyramidSpec,
                              rng: np.random.Generator,
-                             augment: bool):
+                             augment: bool,
+                             limit_numpoints: int = 0):
+    """Assemble one padded VoxelBatch. `limit_numpoints` mirrors the
+    reference's collate-time batch truncation (`lib/transforms.py:126-143`):
+    once the cumulative point count exceeds the limit, the remaining shapes
+    of the batch are masked out (the static-shape analogue of dropping them).
+    """
     shapes = [dataset.get(i, rng=rng, augment=augment) for i in indices]
-    return build_voxel_batch(shapes, spec, rng=rng)
+    batch = build_voxel_batch(shapes, spec, rng=rng)
+    if limit_numpoints > 0:
+        tot, kept = 0, len(shapes)
+        for j, (c, _, _) in enumerate(shapes):
+            tot += int(c.shape[0])
+            if tot > limit_numpoints and j > 0:
+                kept = j
+                break
+        if kept < len(shapes):
+            logging.warning(
+                "\tCannot fit %d points into %d points limit. Truncating "
+                "batch %d -> %d shapes.", tot, limit_numpoints, len(shapes),
+                kept)
+            batch.point_mask[kept:] = False
+            batch.labels[kept:] = 255
+            for m in batch.masks:
+                m[kept:] = False
+            batch.interp_w[kept:] = 0.0
+    return batch
 
 
 class BaseTrainer:
@@ -192,19 +216,22 @@ class BaseTrainer:
         return ()
 
     # -- data -----------------------------------------------------------------
-    def _fetch_data(self, augment: bool = True):
+    def _fetch_data(self, augment: bool = True,
+                    rng: Optional[np.random.Generator] = None):
+        rng = rng if rng is not None else self.data_rng
         idxs = self.sampler.take(self.config.batch_size)
         if self.K > 0:
             # build the query batch and the K neighbor batches concurrently
             # (independent work; each gets its own spawned generator)
             from concurrent.futures import ThreadPoolExecutor
 
-            rngs = self.data_rng.spawn(1 + self.K)
+            rngs = rng.spawn(1 + self.K)
             nbr_idxs = [[self.train_dataset.neighbors[i][1][k] for i in idxs]
                         for k in range(self.K)]
             with ThreadPoolExecutor(max_workers=1 + self.K) as ex:
                 fq = ex.submit(build_batch_from_dataset, self.train_dataset,
-                               idxs, self.spec, rngs[0], augment)
+                               idxs, self.spec, rngs[0], augment,
+                               self.config.train_limit_numpoints)
                 fks = [ex.submit(build_batch_from_dataset,
                                  self.train_dataset, nbr_idxs[k], self.spec,
                                  rngs[1 + k], augment)
@@ -212,12 +239,10 @@ class BaseTrainer:
                 qb = fq.result()
                 keys = tuple(f.result().to_jax() for f in fks)
             return qb.to_jax(), keys
-        qb = build_batch_from_dataset(self.train_dataset, idxs, self.spec,
-                                      self.data_rng, augment=augment)
+        qb = build_batch_from_dataset(
+            self.train_dataset, idxs, self.spec, rng, augment=augment,
+            limit_numpoints=self.config.train_limit_numpoints)
         return qb.to_jax(), ()
-
-    def _fetch_keys(self, key_dataset, idxs, augment):
-        return ()
 
     # -- train loop -----------------------------------------------------------
     @property
@@ -243,7 +268,12 @@ class BaseTrainer:
         if getattr(self, "_prefetch", None) is None:
             from csn_tpu.data.prefetch import Prefetcher
 
-            self._prefetch = Prefetcher(lambda: self._fetch_data(), depth=2)
+            # The worker thread owns its own generator (spawned here, on the
+            # main thread) so it never mutates `data_rng` concurrently with
+            # main-thread draws.
+            worker_rng = self.data_rng.spawn(1)[0]
+            self._prefetch = Prefetcher(
+                lambda: self._fetch_data(rng=worker_rng), depth=2)
 
     def _train_iter(self):
         self._start_prefetch()
@@ -338,6 +368,9 @@ class BaseTrainer:
                 idxs.append(idxs[-1])
             qb_host = build_batch_from_dataset(dataset, idxs, self.spec,
                                                self.rng, augment=False)
+            # the final partial batch is padded by duplicating the last shape;
+            # mask the duplicates out of the loss (metrics slice [:valid])
+            qb_host.point_mask[valid:] = False
             qb = qb_host.to_jax()
             keys = self._fetch_eval_keys(dataset, idxs)
             loss, point_logits, pred = self._eval_step(
@@ -352,6 +385,12 @@ class BaseTrainer:
                 scores.update(M.precision_at_one_partnet(p, g), int(m.sum()))
                 ious[shape_id] = M.calculate_iou(g, p, self.num_labels)
                 shape_id += 1
+                # progress logging (`trainer_csn.py:477-486`)
+                if (self.config.test_stat_freq > 0 and shape_id > 0
+                        and shape_id % self.config.test_stat_freq == 0):
+                    logging.info(
+                        "===> Test iter %d/%d: Loss %.4f\tScore %.3f",
+                        shape_id, n, losses.avg, scores.avg)
         part_iou = M.calculate_part_iou(ious, self.num_labels) * 100
         shape_iou = M.calculate_shape_iou(ious) * 100
         if save_pred_dir:
@@ -513,21 +552,6 @@ class CSNTrainer(BaseTrainer):
     def _fetch_keys_for_init(self, qb, idxs):
         return tuple(qb for _ in range(self.K)) if self.K > 0 else ()
 
-    def _fetch_keys(self, key_dataset, idxs, augment):
-        """`lib/csn_utils.py:114-130` get_neighbors: for each of the K slots,
-        one batch of the idx-th neighbor of every query shape."""
-        if self.K <= 0:
-            return ()
-        keys = []
-        for i in range(self.K):
-            nbr_idxs = [self.train_dataset.neighbors[idx][1][i]
-                        for idx in idxs]
-            kb = build_batch_from_dataset(self.train_dataset, nbr_idxs,
-                                          self.spec, self.data_rng,
-                                          augment=augment)
-            keys.append(kb.to_jax())
-        return tuple(keys)
-
     def _fetch_eval_keys(self, dataset, idxs):
         if self.K <= 0:
             return ()
@@ -564,6 +588,11 @@ class CSNTrainer(BaseTrainer):
         first construction, SSA cosine retrieval on rebuilds. Train neighbors
         come from the train set (self-excluded); val neighbors from the train
         set."""
+        # Flush the prefetch queue first: queued batches were built from the
+        # OLD neighbor graph, and the worker thread must not read
+        # `train_dataset.neighbors` while it is being replaced. The next
+        # `_train_iter` restarts the prefetcher over the new graph.
+        self._close_prefetch()
         K = self.config.k_neighbors
         if not recalculate:
             logging.info("===> Get random pairs")
@@ -623,6 +652,31 @@ class CSNTrainer(BaseTrainer):
                          self.n_graph_construction)
         return host
 
+    def _rebuild_on_plateau(self):
+        """Patience exhausted: reload best-part-IoU weights, rebuild the shape
+        graph, reset counters (`trainer_csn.py:136-158`)."""
+        self._close_prefetch()  # pending batches use the old graph
+        ckpt = osp.join(
+            self.config.log_dir,
+            f"checkpoint_{self.config.model}best_part_iou.msgpack")
+        logging.info("=====> Loading checkpoint '%s'", ckpt)
+        # `trainer_csn.py:143-148`: with resume_optimizer the best
+        # checkpoint's *optimizer state* is reloaded too (momentum buffers
+        # carry over from the best epoch) and the lr resets to config.lr.
+        self._load_tree(ckpt, load_optimizer=self.config.resume_optimizer)
+        if self.config.resume_optimizer:
+            self.opt_state = set_lr(self.opt_state, self.config.lr)
+            if hasattr(self, "plateau"):
+                self.plateau = ReduceLROnPlateau(
+                    lr=self.config.lr, factor=self.lr_factor,
+                    patience=self.MAX_PATIENCE,
+                    cooldown=self.MAX_COOLDOWN * 2)
+        self.construct_shape_graph(recalculate=True)
+        self.n_graph_construction += 1
+        self.patience = self.MAX_PATIENCE
+        self.cooldown = self.MAX_COOLDOWN
+        self.save_checkpoint()
+
     # -- main loop ------------------------------------------------------------
     def train(self):
         """`trainer_csn.py:54-186`."""
@@ -681,25 +735,7 @@ class CSNTrainer(BaseTrainer):
                                         val_shape_iou)
 
             if self.config.k_neighbors > 0 and self.patience <= 0:
-                # reload best-part-IoU weights, rebuild graph, reset
-                # (`trainer_csn.py:136-158`)
-                ckpt = osp.join(
-                    self.config.log_dir,
-                    f"checkpoint_{self.config.model}best_part_iou.msgpack")
-                logging.info("=====> Loading checkpoint '%s'", ckpt)
-                self._load_tree(ckpt, load_optimizer=False)
-                if self.config.resume_optimizer:
-                    self.opt_state = self.optimizer.init(self.params)
-                    if hasattr(self, "plateau"):
-                        self.plateau = ReduceLROnPlateau(
-                            lr=self.config.lr, factor=self.lr_factor,
-                            patience=self.MAX_PATIENCE,
-                            cooldown=self.MAX_COOLDOWN * 2)
-                self.construct_shape_graph(recalculate=True)
-                self.n_graph_construction += 1
-                self.patience = self.MAX_PATIENCE
-                self.cooldown = self.MAX_COOLDOWN
-                self.save_checkpoint()
+                self._rebuild_on_plateau()
 
             if self.config.scheduler == "ReduceLROnPlateau":
                 self.plateau.step(val_loss)
