@@ -200,6 +200,84 @@ except Exception:  # pragma: no cover - import-time fallback for pure-numpy use
     JaxVoxelBatch = None
 
 
+def _map_levels(name: str) -> Tuple[int, int]:
+    """(src_level, dst_level) of a kernel-map name like 'same0k3'."""
+    kind = "same" if name.startswith("same") else (
+        "down" if name.startswith("down") else "up")
+    lvl = int(name[len(kind):].split("k")[0])
+    if kind == "same":
+        return lvl, lvl
+    if kind == "down":
+        return lvl, lvl + 1
+    return lvl + 1, lvl
+
+
+def concat_jax_batches(batches: Sequence["JaxVoxelBatch"]) -> "JaxVoxelBatch":
+    """Concatenate JaxVoxelBatches (same PyramidSpec) along the batch axis.
+
+    Kernel-map / interp / point->voxel indices address the flattened
+    ``[B * L]`` per-level space with sentinel ``B * L``; concatenation offsets
+    each batch's index space and remaps sentinels to the combined sentinel.
+    Window metadata ('win!' entries) are source-row starts and only need the
+    offset. jit-safe (pure jnp ops); the int remaps are trivial next to a conv.
+
+    This enables the single (K+1)*B backbone pass of the CSN models — the
+    reference likewise batches the query and all K keys through ONE backbone
+    call (`MinkowskiNet/models/hrnet.py:425-454`).
+    """
+    import jax.numpy as jnp
+
+    if len(batches) == 1:
+        return batches[0]
+    b0 = batches[0]
+    nl = len(b0.masks)
+    caps = [m.shape[1] for m in b0.masks]
+    bs = [b.masks[0].shape[0] for b in batches]
+    cum = np.cumsum([0] + bs)
+    total = int(cum[-1])
+
+    def cat(leaf):
+        return jnp.concatenate([leaf(b) for b in batches], axis=0)
+
+    def remap_cat(tables, src_l, axis):
+        parts = []
+        for g, t in enumerate(tables):
+            sent_old = bs[g] * caps[src_l]
+            off = int(cum[g]) * caps[src_l]
+            parts.append(
+                jnp.where(t >= sent_old, total * caps[src_l], t + off))
+        return jnp.concatenate(parts, axis=axis)
+
+    kmaps = {}
+    for name in b0.kmaps:
+        if name.startswith("win!"):
+            src_l = _map_levels(name[4:])[0]
+            kmaps[name] = jnp.concatenate(
+                [b.kmaps[name] + int(cum[g]) * caps[src_l]
+                 for g, b in enumerate(batches)], axis=0)
+        else:
+            src_l = _map_levels(name)[0]
+            kmaps[name] = remap_cat([b.kmaps[name] for b in batches], src_l,
+                                    axis=1)
+
+    return JaxVoxelBatch(
+        points=cat(lambda b: b.points),
+        point_feats=cat(lambda b: b.point_feats),
+        labels=cat(lambda b: b.labels),
+        point_mask=cat(lambda b: b.point_mask),
+        coords=tuple(jnp.concatenate([b.coords[l] for b in batches], axis=0)
+                     for l in range(nl)),
+        masks=tuple(jnp.concatenate([b.masks[l] for b in batches], axis=0)
+                    for l in range(nl)),
+        vox_feats=cat(lambda b: b.vox_feats),
+        kmaps=kmaps,
+        interp_idx=remap_cat([b.interp_idx for b in batches], 0, axis=0),
+        interp_w=cat(lambda b: b.interp_w),
+        point_to_voxel=remap_cat([b.point_to_voxel for b in batches], 0,
+                                 axis=0),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Host-side construction
 # ---------------------------------------------------------------------------

@@ -288,38 +288,55 @@ class HRNetSimCSN(HRNetBase):
 
     def __call__(self, batch, keys: Sequence = (), train: bool = False,
                  return_ssa: bool = False):
-        qmask = batch.masks[0]
-        q_out = self._features(batch, train)
-        q_ssa = self._ssa(q_out, qmask, train)
+        K = len(keys)
+        if K == 0:
+            qmask = batch.masks[0]
+            q_out = self._features(batch, train)
+            q_ssa = self._ssa(q_out, qmask, train)
+            if return_ssa:
+                return q_ssa
+            out = jnp.concatenate([q_out, q_ssa], axis=-1)
+            return self.out_head(out)
+
+        # ONE combined (K+1)*B backbone + SSA pass — the reference also
+        # batches query and keys through a single backbone call
+        # (`models/hrnet.py:425-454`), so train-mode BN statistics cover
+        # query and key shapes together. On TPU this halves (K=1) the number
+        # of conv/norm kernel dispatches and doubles their batch.
+        from csn_tpu.core.pyramid import concat_jax_batches
+
+        B = batch.masks[0].shape[0]
+        big = concat_jax_batches([batch, *keys])
+        bmask = big.masks[0]                      # [(K+1)B, L0]
+        feats = self._features(big, train)        # [(K+1)B, L0, d]
+        ssa = self._ssa(feats, bmask, train)      # one batched MHA
+        L0 = bmask.shape[1]
+        q_out, qmask, q_ssa = feats[:B], bmask[:B], ssa[:B]
         if return_ssa:
             return q_ssa
 
-        K = len(keys)
-        if K > 0:
-            k_outs = [self._features(kb, train) for kb in keys]
-            k_ssas = [self._ssa(ko, kb.masks[0], train)
-                      for kb, ko in zip(keys, k_outs)]
+        # compatibility softmax over [self]+K (`models/hrnet.py:377-396`)
+        pools = global_avg_pool(ssa, bmask).reshape(K + 1, B, self.d_model)
+        q_glob = self.linear_q(pools[0])
+        q_glob = q_glob / jnp.maximum(
+            jnp.linalg.norm(q_glob, axis=-1, keepdims=True), 1e-12)
+        k_glob = self.linear_k(pools.transpose(1, 0, 2))  # [B, K+1, d]
+        k_glob = k_glob / jnp.maximum(
+            jnp.linalg.norm(k_glob, axis=-1, keepdims=True), 1e-12)
+        sim = jnp.einsum("bd,bkd->bk", q_glob, k_glob) / (
+            float(self.d_model) ** 0.5)
+        comp = jax.nn.softmax(sim, axis=-1)  # [B, K+1]
 
-            pools = [global_avg_pool(q_ssa, qmask)]
-            pools += [global_avg_pool(ks, kb.masks[0])
-                      for kb, ks in zip(keys, k_ssas)]
-            q_glob = self.linear_q(pools[0])
-            q_glob = q_glob / jnp.maximum(
-                jnp.linalg.norm(q_glob, axis=-1, keepdims=True), 1e-12)
-            k_glob = self.linear_k(jnp.stack(pools, axis=1))  # [B, K+1, d]
-            k_glob = k_glob / jnp.maximum(
-                jnp.linalg.norm(k_glob, axis=-1, keepdims=True), 1e-12)
-            sim = jnp.einsum("bd,bkd->bk", q_glob, k_glob) / (
-                float(self.d_model) ** 0.5)
-            comp = jax.nn.softmax(sim, axis=-1)  # [B, K+1]
-
-            csa = comp[:, 0, None, None] * q_ssa
-            for i, (kb, ko) in enumerate(zip(keys, k_outs)):
-                cross = self.mha(q_out, ko, ko, kb.masks[0], train=train)
-                cross = jnp.where(qmask[..., None], cross, 0.0)
-                csa = csa + comp[:, i + 1, None, None] * cross
-        else:
-            csa = q_ssa
+        # all K cross attentions in one batched MHA call (query replicated)
+        k_out = feats[B:].reshape(K * B, L0, self.d_model)
+        k_mask = bmask[B:]
+        q_rep = jnp.broadcast_to(
+            q_out[None], (K,) + q_out.shape).reshape(K * B, L0, self.d_model)
+        cross = self.mha(q_rep, k_out, k_out, k_mask, train=train)
+        cross = cross.reshape(K, B, L0, self.d_model)
+        cross = jnp.where(qmask[None, ..., None], cross, 0.0)
+        csa = comp[:, 0, None, None] * q_ssa + jnp.einsum(
+            "bk,kbld->bld", comp[:, 1:], cross)
 
         out = jnp.concatenate([q_out, csa], axis=-1)
         return self.out_head(out)

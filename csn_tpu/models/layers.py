@@ -128,11 +128,16 @@ class MaskedBatchNorm(nn.Module):
                                lambda: jnp.ones((c,), self.dtype))
 
         if train:
+            # one fused pass: sum and sum-of-squares reduce together (the
+            # two-pass (x-mean)^2 form forces a second HBM sweep because the
+            # second reduction depends on the first)
             m = mask.astype(jnp.float32)
             n = jnp.maximum(m.sum(), 1.0)
             xm = x * m[..., None]
-            mean = xm.sum(axis=(0, 1)) / n
-            var = (jnp.square(x - mean) * m[..., None]).sum(axis=(0, 1)) / n
+            s1 = xm.sum(axis=(0, 1))
+            s2 = (x * xm).sum(axis=(0, 1))
+            mean = s1 / n
+            var = jnp.maximum(s2 / n - mean * mean, 0.0)
             if not self.is_initializing():
                 mom = self.momentum
                 ra_mean.value = (1.0 - mom) * ra_mean.value + mom * mean
@@ -159,8 +164,11 @@ class MaskedInstanceNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,))
         m = mask.astype(jnp.float32)[..., None]
         n = jnp.maximum(m.sum(axis=1, keepdims=True), 1.0)
-        mean = (x * m).sum(axis=1, keepdims=True) / n
-        var = (jnp.square(x - mean) * m).sum(axis=1, keepdims=True) / n
+        xm = x * m
+        s1 = xm.sum(axis=1, keepdims=True)
+        s2 = (x * xm).sum(axis=1, keepdims=True)
+        mean = s1 / n
+        var = jnp.maximum(s2 / n - mean * mean, 0.0)
         y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
         return jnp.where(mask[..., None], y, 0.0)
 

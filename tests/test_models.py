@@ -122,3 +122,23 @@ def test_train_mode_updates_batch_stats_and_grads_flow():
     old = jax.tree_util.tree_leaves(stats)
     new = jax.tree_util.tree_leaves(new_stats["batch_stats"])
     assert any(not np.allclose(a, b) for a, b in zip(old, new))
+
+
+def test_csa_with_self_key_equals_ssa_only():
+    """With the single key being the query batch itself, compatibility is
+    [0.5, 0.5] and cross-attention == self-attention, so the CSA output must
+    equal the K=0 SSA output exactly (eval mode). End-to-end check of the
+    combined (K+1)*B backbone pass: batch concat remaps, shared BN stats,
+    batched cross-MHA."""
+    cls = load_model("HRNetSimCSN2S")
+    vb, jb, spec = build_jax_batch(cls)
+    model = cls(out_channels=5, conv1_kernel_size=3, d_model=16, n_head=2,
+                k_neighbors=1)
+    variables = jax.jit(lambda r, b, k: model.init(r, b, k, train=False))(
+        jax.random.PRNGKey(0), jb, (jb,))
+    out_csa = jax.jit(lambda v, b, k: model.apply(v, b, k, train=False))(
+        variables, jb, (jb,))
+    out_ssa = jax.jit(lambda v, b: model.apply(v, b, train=False))(
+        variables, jb)
+    np.testing.assert_allclose(np.asarray(out_csa), np.asarray(out_ssa),
+                               rtol=2e-4, atol=2e-5)

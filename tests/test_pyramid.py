@@ -255,3 +255,39 @@ def test_point_to_voxel_roundtrip():
             np.testing.assert_array_equal(
                 vb.coords[0].reshape(B * L, 3)[idx], ic[p]
             )
+
+
+def test_concat_jax_batches_matches_joint_build():
+    """Device-side concat of two B-shape batches must equal one 2B-shape
+    build: identical index spaces, sentinels, masks and features (the basis
+    of the single (K+1)*B CSN backbone pass)."""
+    from csn_tpu.core.pyramid import concat_jax_batches
+
+    maps = [MapSpec("same", 0, 3), MapSpec("down", 0, 3), MapSpec("up", 0, 3)]
+    rng = np.random.default_rng(3)
+    shapes = [make_shape(rng, 400) for _ in range(4)]
+    spec = PyramidSpec(voxel_size=1.0, num_points=400,
+                       level_caps=default_level_caps(400, 2, shrink=1.0),
+                       maps=tuple(maps), qmode=QMode.UNWEIGHTED_AVERAGE)
+    b1 = build_voxel_batch(shapes[:2], spec)
+    b2 = build_voxel_batch(shapes[2:], spec)
+    joint = build_voxel_batch(shapes, spec)
+
+    cat = concat_jax_batches([b1.to_jax(), b2.to_jax()])
+    jj = joint.to_jax()
+    for name in jj.kmaps:
+        np.testing.assert_array_equal(np.asarray(cat.kmaps[name]),
+                                      np.asarray(jj.kmaps[name]), err_msg=name)
+    np.testing.assert_array_equal(np.asarray(cat.interp_idx),
+                                  np.asarray(jj.interp_idx))
+    np.testing.assert_allclose(np.asarray(cat.interp_w),
+                               np.asarray(jj.interp_w))
+    np.testing.assert_array_equal(np.asarray(cat.point_to_voxel),
+                                  np.asarray(jj.point_to_voxel))
+    np.testing.assert_allclose(np.asarray(cat.vox_feats),
+                               np.asarray(jj.vox_feats))
+    for l in range(2):
+        np.testing.assert_array_equal(np.asarray(cat.masks[l]),
+                                      np.asarray(jj.masks[l]))
+        np.testing.assert_array_equal(np.asarray(cat.coords[l]),
+                                      np.asarray(jj.coords[l]))
