@@ -92,15 +92,15 @@ def main():
     use_flash = os.environ.get("BENCH_FLASH", "1") == "1"
     model = cls(out_channels=NUM_CLASSES, conv1_kernel_size=5, d_model=256,
                 n_head=4, k_neighbors=K, use_flash=use_flash)
-    # windowed convs are opt-in: fixed-size windows don't fit worst-case
-    # planar geometry (see STATUS.md / core/window_conv.py)
-    use_windows = os.environ.get("BENCH_WINDOWS", "0") == "1"
+    # worklist windowed convs (core/window_conv.py): default ON — the
+    # job worklist adapts to any geometry (BENCH_WINDOWS=0 for the
+    # XLA-gather baseline)
+    use_windows = os.environ.get("BENCH_WINDOWS", "1") == "1"
     # level0 cap 5632: smallest cap with zero voxel truncation for this
     # fixed-seed batch (a 5120 cap silently drops ~1% of voxels)
     spec = pyramid_spec_for_model(cls, num_points=P, voxel_size=VOXEL,
                                   conv1_kernel_size=5, level0_cap=5632,
-                                  shrink=3.0, use_windows=use_windows,
-                                  window_size=1024)
+                                  shrink=3.0, use_windows=use_windows)
 
     t0 = time.time()
     qb_host = collate_shapes([make_surface_shape(rng, P) for _ in range(B)],

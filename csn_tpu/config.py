@@ -99,6 +99,8 @@ class Config:
     level_shrink: float = 3.0        # capacity decay per level
     use_flash: str = "auto"          # Pallas flash attention for SSA/CSA:
                                      # 'auto' = on for TPU, off on CPU
+    use_windows: str = "auto"        # Pallas windowed sparse convs (same-
+                                     # level k3 maps): 'auto' = TPU only
     compute_dtype: str = "float32"   # 'float32' | 'bfloat16' activations
     data_parallel: int = 1           # devices for DP (parallel/ module)
 
@@ -114,10 +116,9 @@ class Config:
         return QMode.UNWEIGHTED_AVERAGE if self.avg_feat else \
             QMode.RANDOM_SUBSAMPLE
 
-    def resolved_use_flash(self) -> bool:
-        """The default config is the fast path on TPU; on CPU (where Pallas
-        TPU kernels cannot run) the XLA attention core is auto-selected."""
-        v = str(self.use_flash).lower()
+    @staticmethod
+    def _resolve_tpu_flag(v) -> bool:
+        v = str(v).lower()
         if v in ("true", "1"):
             return True
         if v in ("false", "0"):
@@ -125,6 +126,16 @@ class Config:
         import jax
 
         return jax.default_backend() not in ("cpu",)
+
+    def resolved_use_flash(self) -> bool:
+        """The default config is the fast path on TPU; on CPU (where Pallas
+        TPU kernels cannot run) the XLA attention core is auto-selected."""
+        return self._resolve_tpu_flag(self.use_flash)
+
+    def resolved_use_windows(self) -> bool:
+        """Pallas windowed sparse convs (core/window_conv.py): default on
+        for TPU, XLA gather path on CPU."""
+        return self._resolve_tpu_flag(self.use_windows)
 
     def normalized(self) -> "Config":
         """Apply the derived-flag expansion of `get_config()`

@@ -107,11 +107,10 @@ def sparse_conv_tvjp(feats, weights, kmap, kmap_t, win_starts,
 
 def _conv_fwd_impl(feats, kmap, weights, win_starts, win_group, win_window):
     if win_starts is not None:
-        from csn_tpu.core.window_conv import window_conv_grouped
+        from csn_tpu.core.window_conv import window_conv_fwd
 
-        return window_conv_grouped(feats, kmap, win_starts, weights,
-                                   group=win_group, window=win_window,
-                                   nbuf=3)
+        return window_conv_fwd(feats, kmap, win_starts, weights,
+                               group=win_group, window=win_window)
     return _conv_impl(feats, kmap, weights)
 
 
@@ -119,18 +118,31 @@ def _tvjp_fwd(feats, weights, kmap, kmap_t, win_starts, mirror, win_group,
               win_window):
     out = _conv_fwd_impl(feats, kmap, weights, win_starts, win_group,
                          win_window)
-    return out, (feats, weights, kmap, kmap_t)
+    return out, (feats, weights, kmap, kmap_t, win_starts)
 
 
 def _tvjp_bwd(mirror, win_group, win_window, res, g):
-    feats, weights, kmap, kmap_t = res
+    feats, weights, kmap, kmap_t, win_starts = res
     g = g.astype(jnp.float32)
     # weight paired with the transpose-map offset k: mirrored for same-level
     # maps (offset -o lives at index K-1-k in product order), identity for
     # down/up pairs.
     w_for_t = weights[::-1] if mirror else weights
-    f32 = feats.astype(jnp.float32)
 
+    if win_starts is not None and mirror:
+        # Windowed fused backward (same-level maps: kmap_t == kmap, so the
+        # forward worklist drives the transpose gathers too). One Pallas
+        # pass emits d_feats AND dW — see core/window_conv.py.
+        from csn_tpu.core.window_conv import window_conv_bwd
+
+        d_feats, d_w_t = window_conv_bwd(
+            feats, g, kmap_t, win_starts, w_for_t, group=win_group,
+            window=win_window)
+        d_w = d_w_t[::-1]
+        return (d_feats.astype(feats.dtype), d_w.astype(weights.dtype),
+                None, None, None)
+
+    f32 = feats.astype(jnp.float32)
     # ONE gather per offset serves both gradients:
     #   gg      = gather(g, kmap_t[k])                  [N_in, Cout]
     #   d_feats += gg . W_pair[k]^T                     (contract Cout)

@@ -89,11 +89,10 @@ class PyramidSpec:
     level_caps: Tuple[int, ...]       # L_l: per-shape voxel capacity per level
     maps: Tuple[MapSpec, ...]
     qmode: QMode = QMode.RANDOM_SUBSAMPLE
-    # Emit per-(tile, offset-group) window metadata so eligible convs run the
-    # Pallas windowed-gather kernel (core/window_conv.py). TPU-only: leave
-    # False when the compute runs on CPU.
+    # Emit per-(tile, offset-group) window-job worklists so same-level k3
+    # convs run the Pallas windowed-gather kernel (core/window_conv.py,
+    # fixed WINDOW source rows per job). TPU-only: leave False on CPU.
     use_windows: bool = False
-    window_size: int = 512
 
     @property
     def num_levels(self) -> int:
@@ -584,26 +583,29 @@ def build_voxel_batch(
         interp_w[b, :p] = np.where(ok, lw, 0.0)
 
     if spec.use_windows:
-        # Windowed-conv metadata for the dominant conv type (stride-1 k3 at
-        # level 0 — the bulk of backbone compute). Restricted to this one map
-        # kind so the batch pytree structure is identical across batches
-        # (jit-signature stability); other maps keep the gather path.
-        from csn_tpu.core.window_conv import TILE, window_meta
+        # Windowed-conv job worklists for every same-level k3 map (the bulk
+        # of backbone compute; core/window_conv.py). The key set is a pure
+        # function of spec.maps, so the batch pytree structure is identical
+        # across batches (jit-signature stability). Pathological geometry
+        # overflowing the static job capacity disables windows for the whole
+        # batch (gather fallback — one retrace; logged).
+        from csn_tpu.core.window_conv import WindowOverflow, window_jobs
 
-        for m in spec.maps:
-            if not (m.kind == "same" and m.level == 0 and m.ksize == 3):
-                continue
-            if (B * spec.level_caps[0]) % TILE != 0:
-                raise ValueError(
-                    f"use_windows requires B*level0_cap divisible by {TILE}")
-            meta = window_meta(kmaps[m.name], B * spec.level_caps[0],
-                               window=spec.window_size, group=m.ksize)
-            if meta is None:
-                raise ValueError(
-                    f"window_size={spec.window_size} too small for map "
-                    f"{m.name} on this batch; increase PyramidSpec."
-                    f"window_size or disable use_windows")
-            kmaps["win!" + m.name] = meta
+        try:
+            win: Dict[str, np.ndarray] = {}
+            for m in spec.maps:
+                if not (m.kind == "same" and m.ksize == 3):
+                    continue
+                n_in = B * spec.level_caps[m.level]
+                win["win!" + m.name] = window_jobs(
+                    kmaps[m.name], n_in, group=m.ksize ** 2, cap_mult=1.5)
+            kmaps.update(win)
+        except WindowOverflow as e:  # pragma: no cover - rare geometry
+            import logging
+
+            logging.warning(
+                "windowed conv disabled for this batch (gather fallback, "
+                "retrace): %s", e)
 
     return VoxelBatch(
         points=points,

@@ -1,25 +1,41 @@
 """Windowed sparse convolution (Pallas): MXU one-hot gathers over
-sequentially-DMA'd index windows.
+sequentially-DMA'd source windows, driven by a host-built job worklist.
 
 Why: XLA's row-granular dynamic gather moves ~33-40 GB/s on v5e for 256-byte
 rows (scripts/microbench.py) — HBM transactions are much wider than a voxel
-row, so the sparse conv is transaction-bound, not bandwidth-bound. But the
-voxel lists are built in spatially-sorted order (core/pyramid.py packs keys
-x-major), so for every kernel offset the source rows of a contiguous output
-tile fall inside a narrow index *window*. This kernel exploits that, the TPU
-translation of Minuet-style gather coalescing (PAPERS.md):
+row, so the sparse conv is transaction-bound, not bandwidth-bound. The voxel
+lists are built in spatially-sorted order (core/pyramid.py packs keys
+x-major, z-fastest), so for every kernel offset the source rows of a
+contiguous output tile fall inside a narrow index *window* (key translation
+preserves sorted order). This kernel exploits that — the TPU translation of
+Minuet-style gather coalescing (PAPERS.md):
 
-  for each output tile (T=256 rows) x offset k:
-    - DMA the contiguous source window  feats[start : start+W]   (sequential,
-      full HBM bandwidth; double-buffered against compute)
-    - gather inside VMEM as a one-hot matmul on the MXU:
-        onehot[i, j] = (kmap[k, tile_i] - start == j)      [T, W]  bf16
-        g = onehot @ window                                 [T, C]
-    - accumulate g @ weights[k]
+  job = (output tile t, offset-group g, window start s):
+    - DMA the contiguous source window  feats[s : s+W]   (sequential, full
+      HBM bandwidth; pipelined one job ahead)
+    - for each offset k in group g, gather inside VMEM as a one-hot matmul
+      on the MXU:  onehot[i, j] = (kmap[k, tile_i] - s == j)   [T, W] bf16
+      g_k = onehot @ window   [T, C]
+    - accumulate g_k @ weights[k] into the tile accumulator
 
-The host precomputes per-(tile, offset) window starts and verifies every
-window fits W (core/pyramid.py attaches the metadata; `window_meta` below);
-maps whose spread exceeds W fall back to the plain gather path.
+Unlike round-1's fixed one-window-per-tile layout (which failed on planar
+geometry where an offset's source spread exceeds any fixed W), the worklist
+emits as many windows per (tile, group) as the geometry needs: sources are
+monotone within a tile, so greedy segmentation covers every row with
+disjoint windows (measured 1.02-1.08x the one-window ideal on realistic
+PartNet-like batches, see STATUS.md). Every output row's source falls in
+exactly one of its (tile, group) windows, so contributions never double
+count; rows outside a job's window hit zero one-hot columns.
+
+The backward kernel reuses the same worklist on the transpose map (for
+same-level odd kernels kmap_t == kmap with mirrored weights) and fuses BOTH
+gradients: per job it computes gg = onehot @ g_window once, accumulates
+d_feats += gg @ W_pair^T into the tile accumulator and dW_t[k] += f_tile^T
+@ gg into a persistent VMEM scratch written out at the final job — no
+scatter, no second pass over g.
+
+Replaces MinkowskiEngine's gather-GEMM-scatter sparse conv (C++/CUDA) for
+the hot stride-1 maps; see `core/conv.py` for the XLA gather fallback.
 """
 
 from __future__ import annotations
@@ -33,245 +49,369 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 256          # output rows per grid step
-WINDOW = 1024       # source rows DMA'd per (tile, offset)
+TILE = 256          # output rows per job
+WINDOW = 512        # source rows DMA'd per job
+META_ROWS = 5       # tiles | groups | starts | flags | (reserved)
+
+F_FIRST = 1         # flags bit: first job of its output tile (init acc)
+F_LAST = 2          # flags bit: last job of its tile (write out)
+F_ACTIVE = 4        # flags bit: real job (padding jobs do nothing)
 
 
-def window_meta(kmap: np.ndarray, n_in: int, tile: int = TILE,
-                window: int = WINDOW, group: int = 1) -> Optional[np.ndarray]:
-    """Per-(tile, offset-group) window starts [n_tiles, K//group] int32, or
-    None if any group's index spread does not fit `window`.
+class WindowOverflow(ValueError):
+    """Job worklist exceeded its static capacity (pathological geometry)."""
 
-    `group` merges consecutive offsets into one shared window: for a cubic
-    kernel the last axis varies fastest, so the `ksize` offsets that differ
-    only in dz index near-identical source ranges (sorted voxel order is
-    z-fastest) — one window serves all of them (group=ksize)."""
+
+def window_jobs(kmap: np.ndarray, n_in: int, tile: int = TILE,
+                window: int = WINDOW, group: int = 9,
+                cap_mult: float = 1.25) -> np.ndarray:
+    """Build the job worklist for one kernel map.
+
+    kmap: [K, n_out] int32 source indices (sentinel >= n_in), n_out % tile
+    == 0 (pad with sentinels first). Offsets are grouped in consecutive runs
+    of `group` (for a cubic k=3 kernel, group=9 shares one window across all
+    (dy, dz) offsets of a dx-slab — their source ranges nearly coincide).
+
+    Returns int32 meta [META_ROWS, J_cap] (tiles, groups, starts, flags, 0),
+    jobs sorted by tile. Raises WindowOverflow if the geometry needs more
+    than cap_mult * n_tiles * n_groups windows (caller falls back to the
+    gather path).
+    """
     K, n_out = kmap.shape
-    if n_out % tile != 0 or K % group != 0:
-        return None
+    if K % group != 0:
+        raise WindowOverflow(f"K={K} not divisible by group={group}")
+    pad = (-n_out) % tile
+    if pad:  # pad with sentinels (the wrappers pad the device kmap the same)
+        kmap = np.concatenate(
+            [kmap, np.full((K, pad), n_in, kmap.dtype)], axis=1)
+        n_out += pad
     n_tiles = n_out // tile
     ng = K // group
-    hi_cap = max(n_in - window, 0)
-    # [ng, group, n_tiles, tile] -> per (tile, group) min/max of valid rows
-    t_idx = kmap.reshape(ng, group, n_tiles, tile)
-    valid = t_idx < n_in
-    big = np.where(valid, t_idx, np.iinfo(np.int32).max)
-    small = np.where(valid, t_idx, -1)
-    lo = big.min(axis=(1, 3)).T        # [n_tiles, ng]
-    hi = small.max(axis=(1, 3)).T
-    any_valid = valid.any(axis=(1, 3)).T
-    if np.any(any_valid & (hi - lo >= window)):
-        return None
-    starts = np.where(any_valid, np.minimum(lo, hi_cap), 0).astype(np.int32)
-    return starts
+    cap = int(np.ceil(cap_mult * n_tiles * ng / 64.0) * 64) + 64
+
+    t = kmap.reshape(ng, group, n_tiles, tile)
+    valid = t < n_in
+    big = np.where(valid, t, np.iinfo(np.int32).max)
+    small = np.where(valid, t, -1)
+    # Window starts are aligned DOWN to sublane multiples (8): Mosaic must
+    # prove the dynamic HBM slice start divisible by the (8, 128) tiling.
+    lo = (big.min(axis=(1, 3)) >> 3) << 3     # [ng, n_tiles]
+    hi = small.max(axis=(1, 3))
+    any_v = valid.any(axis=(1, 3))
+    fits = any_v & (hi - lo < window)
+    over = any_v & ~fits
+
+    jobs_t, jobs_g, jobs_s = [], [], []
+    # vectorized single-window jobs
+    gi, ti = np.nonzero(fits)
+    jobs_t.append(ti.astype(np.int64))
+    jobs_g.append(gi.astype(np.int64))
+    jobs_s.append(lo[fits].astype(np.int64))
+    # greedy multi-window jobs for the (rare) overflowing (group, tile)s.
+    # Starts stay 8-aligned AND windows stay disjoint (window itself is a
+    # multiple of 8, and each next start is clamped to the previous window's
+    # end) so no source row ever matches two windows (no double counting).
+    assert window % 8 == 0
+    for g, ti_ in zip(*np.nonzero(over)):
+        srcs = np.unique(t[g, :, ti_][valid[g, :, ti_]])
+        start = (int(srcs[0]) >> 3) << 3
+        starts = [start]
+        for s in srcs:
+            if s >= start + window:
+                start = max((int(s) >> 3) << 3, start + window)
+                starts.append(start)
+        jobs_t.append(np.full(len(starts), ti_, np.int64))
+        jobs_g.append(np.full(len(starts), g, np.int64))
+        jobs_s.append(np.asarray(starts, np.int64))
+    jt = np.concatenate(jobs_t) if jobs_t else np.empty(0, np.int64)
+    jg = np.concatenate(jobs_g) if jobs_g else np.empty(0, np.int64)
+    js = np.concatenate(jobs_s) if jobs_s else np.empty(0, np.int64)
+
+    # every output tile needs >= 1 job (zero-init + write): dummy job with
+    # start = n_in gathers nothing (valid-row mask kills sentinels)
+    covered = np.zeros(n_tiles, bool)
+    covered[np.unique(jt)] = True
+    missing = np.nonzero(~covered)[0]
+    if missing.size:
+        jt = np.concatenate([jt, missing])
+        jg = np.concatenate([jg, np.zeros(missing.size, np.int64)])
+        js = np.concatenate([js, np.full(missing.size, n_in, np.int64)])
+
+    n_jobs = jt.shape[0]
+    if n_jobs > cap:
+        raise WindowOverflow(
+            f"{n_jobs} window jobs > capacity {cap} "
+            f"({n_tiles} tiles x {ng} groups, window={window})")
+
+    order = np.argsort(jt, kind="stable")
+    jt, jg, js = jt[order], jg[order], js[order]
+    flags = np.full(n_jobs, F_ACTIVE, np.int64)
+    newt = np.ones(n_jobs, bool)
+    newt[1:] = jt[1:] != jt[:-1]
+    flags[newt] |= F_FIRST
+    lastt = np.ones(n_jobs, bool)
+    lastt[:-1] = jt[:-1] != jt[1:]
+    flags[lastt] |= F_LAST
+
+    meta = np.zeros((META_ROWS, cap), np.int32)
+    meta[0, :n_jobs] = jt
+    meta[1, :n_jobs] = jg
+    meta[2, :n_jobs] = js
+    meta[3, :n_jobs] = flags
+    # padding jobs: inactive, point at the last tile (keeps the out-block
+    # index valid and unchanged so nothing is flushed or re-fetched)
+    if n_jobs < cap:
+        meta[0, n_jobs:] = jt[-1] if n_jobs else 0
+        meta[2, n_jobs:] = n_in
+    return meta
 
 
-def _wconv_kernel_grouped(starts_ref,    # scalar prefetch [n_tiles * NG]
-                          kmap_ref,      # [K, TILE] int32 (block per tile)
-                          feats_hbm,     # [N_pad, C] in HBM
-                          w_ref,         # [K, C, Cout] VMEM
-                          out_ref,       # [TILE, Cout]
-                          win_scratch, acc_scratch, sem,
-                          *, K: int, group: int, window: int, n_in: int,
-                          nbuf: int = 2):
-    t = pl.program_id(0)
-    ng = K // group
-    acc_scratch[...] = jnp.zeros_like(acc_scratch)
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
 
-    def get_dma(slot, g):
-        start = starts_ref[t * ng + g]
+
+def _onehot_tile(rows, start, n_in, window):
+    """[TILE, window] bf16 one-hot of (rows - start), invalid rows zeroed.
+
+    Built as float BITS via integer ops + bitcast: an i1->bf16 select trips a
+    Mosaic relayout limitation, and any int->float convert downstream of an
+    iota gets canonicalized into an (invalid) f32 iota.
+    """
+    rel = rows - start
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE, window), 1)
+    one_bits = jnp.int32(0x3F800000)  # bits of 1.0f
+    hit = jnp.where(rel[:, None] == cols, one_bits, 0)
+    valid_row = jnp.where(rows < n_in, one_bits, 0)
+    return pltpu.bitcast(hit & valid_row[:, None],
+                         jnp.float32).astype(jnp.bfloat16)
+
+
+def _dot(a, b, dims):
+    # precision=DEFAULT: a global f32 matmul-precision setting would force
+    # fp32 contract precision onto bf16 operands ("Bad lhs type" in Mosaic)
+    return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
+                               precision=jax.lax.Precision.DEFAULT,
+                               preferred_element_type=jnp.float32)
+
+
+def _wjobs_fwd_kernel(meta_ref, kmap_ref, feats_hbm, w_ref, out_ref,
+                      win_scratch, sem, *,
+                      group: int, window: int, n_in: int, cap: int,
+                      nbuf: int):
+    j = pl.program_id(0)
+
+    def dma(slot, jj):
+        # window_jobs aligns starts to sublane multiples; Mosaic needs the
+        # hint to prove the dynamic HBM slice is tile-aligned
+        start = pl.multiple_of(meta_ref[2 * cap + jj], 8)
         return pltpu.make_async_copy(
             feats_hbm.at[pl.ds(start, window), :],
-            win_scratch.at[slot],
-            sem.at[slot],
-        )
+            win_scratch.at[slot], sem.at[slot])
 
-    # prefetch depth nbuf-1
-    for w0 in range(min(nbuf - 1, ng)):
-        get_dma(w0, w0).start()
+    flags = meta_ref[3 * cap + j]
+    active = (flags & F_ACTIVE) != 0
 
-    def body(g, _):
-        slot = jax.lax.rem(g, nbuf)
-        nxt_g = g + nbuf - 1
+    @pl.when((j == 0) & active)
+    def _():
+        dma(0, 0).start()
 
-        @pl.when(nxt_g < ng)
+    @pl.when(j + 1 < cap)
+    def _():
+        nxt_active = (meta_ref[3 * cap + j + 1] & F_ACTIVE) != 0
+
+        @pl.when(nxt_active)
         def _():
-            get_dma(jax.lax.rem(nxt_g, nbuf), nxt_g).start()
+            dma((j + 1) % nbuf, j + 1).start()
 
-        get_dma(slot, g).wait()
-        start = starts_ref[t * ng + g]
-        win_bf = win_scratch[slot].astype(jnp.bfloat16)
+    # the out block is VMEM-resident across all jobs of its tile (the block
+    # index only changes between tiles): accumulate into it directly
+    @pl.when((flags & F_FIRST) != 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
 
-        def inner(j, _):
-            k = g * group + j
-            rows = kmap_ref[k, :]
-            rel = rows - start
-            cols = jax.lax.broadcasted_iota(jnp.int32, (TILE, window), 1)
-            one_bits = jnp.int32(0x3F800000)
-            hit = jnp.where(rel[:, None] == cols, one_bits, 0)
-            valid_row = jnp.where(rows < n_in, one_bits, 0)
-            onehot = pltpu.bitcast(hit & valid_row[:, None],
-                                   jnp.float32).astype(jnp.bfloat16)
-            gthr = jax.lax.dot_general(
-                onehot, win_bf,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.DEFAULT,
-                preferred_element_type=jnp.float32)
-            acc_scratch[...] += jax.lax.dot_general(
-                gthr.astype(jnp.bfloat16), w_ref[k].astype(jnp.bfloat16),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.DEFAULT,
-                preferred_element_type=jnp.float32)
+    @pl.when(active)
+    def _():
+        dma(j % nbuf, j).wait()
+        start = meta_ref[2 * cap + j]
+        g = meta_ref[cap + j]
+        win_bf = win_scratch[j % nbuf].astype(jnp.bfloat16)
+
+        def body(i, _):
+            k = g * group + i
+            onehot = _onehot_tile(kmap_ref[k, :], start, n_in, window)
+            gthr = _dot(onehot, win_bf, ((1,), (0,)))          # [T, C]
+            out_ref[...] += _dot(gthr.astype(jnp.bfloat16), w_ref[k],
+                                 ((1,), (0,)))                 # [T, Cout]
             return ()
 
-        jax.lax.fori_loop(0, group, inner, (), unroll=True)
-        return ()
-
-    jax.lax.fori_loop(0, ng, body, (), unroll=False)
-    out_ref[...] = acc_scratch[...].astype(out_ref.dtype)
+        jax.lax.fori_loop(0, group, body, (), unroll=True)
 
 
-def window_conv_grouped(feats, kmap, starts, weights, *, group: int,
-                        window: int = WINDOW, nbuf: int = 2):
-    """Grouped windowed conv: one DMA'd window serves `group` consecutive
-    offsets (the dz neighbors of a cubic kernel); `nbuf` window buffers
-    give a prefetch depth of nbuf-1."""
+def _wjobs_bwd_kernel(meta_ref, kmap_ref, f_tile_ref, g_hbm, wt_ref,
+                      dfeats_ref, dw_ref, win_scratch, sem, *,
+                      group: int, window: int, n_in: int,
+                      cap: int, nbuf: int):
+    """d_feats tile + fused dW: gg = onehot @ g_window serves both
+    d_feats += gg @ W_pair^T and dW_t[k] += f_tile^T @ gg. Both outputs are
+    accumulated directly in their VMEM-resident out blocks (dW's block index
+    is constant, so it stays resident for the whole grid)."""
+    j = pl.program_id(0)
+
+    def dma(slot, jj):
+        # window_jobs aligns starts to sublane multiples; Mosaic needs the
+        # hint to prove the dynamic HBM slice is tile-aligned
+        start = pl.multiple_of(meta_ref[2 * cap + jj], 8)
+        return pltpu.make_async_copy(
+            g_hbm.at[pl.ds(start, window), :],
+            win_scratch.at[slot], sem.at[slot])
+
+    flags = meta_ref[3 * cap + j]
+    active = (flags & F_ACTIVE) != 0
+
+    @pl.when(j == 0)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+        @pl.when(active)
+        def _():
+            dma(0, 0).start()
+
+    @pl.when(j + 1 < cap)
+    def _():
+        nxt_active = (meta_ref[3 * cap + j + 1] & F_ACTIVE) != 0
+
+        @pl.when(nxt_active)
+        def _():
+            dma((j + 1) % nbuf, j + 1).start()
+
+    @pl.when((flags & F_FIRST) != 0)
+    def _():
+        dfeats_ref[...] = jnp.zeros_like(dfeats_ref)
+
+    @pl.when(active)
+    def _():
+        dma(j % nbuf, j).wait()
+        start = meta_ref[2 * cap + j]
+        g = meta_ref[cap + j]
+        win_bf = win_scratch[j % nbuf].astype(jnp.bfloat16)
+        f_bf = f_tile_ref[...].astype(jnp.bfloat16)
+
+        def body(i, _):
+            k = g * group + i
+            onehot = _onehot_tile(kmap_ref[k, :], start, n_in, window)
+            gg = _dot(onehot, win_bf, ((1,), (0,)))            # [T, Cout]
+            ggb = gg.astype(jnp.bfloat16)
+            dfeats_ref[...] += _dot(ggb, wt_ref[k], ((1,), (0,)))  # [T, Cin]
+            dw_ref[k, :, :] += _dot(f_bf, ggb, ((0,), (0,)))   # [Cin, Cout]
+            return ()
+
+        jax.lax.fori_loop(0, group, body, (), unroll=True)
+
+
+# ---------------------------------------------------------------------------
+# host wrappers
+# ---------------------------------------------------------------------------
+
+
+def _pad_feats(feats, window):
+    """Pad channels to a lane multiple and rows by `window` so any window
+    start <= n_in stays in bounds (padding rows are zeros -> sentinel hits
+    contribute nothing)."""
     n_in, cin = feats.shape
+    cpad = (-cin) % 128
+    return jnp.pad(feats, ((0, window), (0, cpad))), cin + cpad
+
+
+def _pad_kmap(kmap, n_in, tile=TILE):
+    pad = (-kmap.shape[1]) % tile
+    if pad:
+        kmap = jnp.pad(kmap, ((0, 0), (0, pad)), constant_values=n_in)
+    return kmap, pad
+
+
+def window_conv_fwd(feats, kmap, meta, weights, *, group: int,
+                    window: int = WINDOW, nbuf: int = 2):
+    """feats [N_in, Cin], kmap [K, N_out], meta [META_ROWS, J], weights
+    [K, Cin, Cout] -> [N_out, Cout]."""
+    n_in, _ = feats.shape
     K, n_out = kmap.shape
     cout = weights.shape[-1]
-    n_tiles = n_out // TILE
-    assert n_out % TILE == 0 and K % group == 0
+    feats_p, cin_p = _pad_feats(feats, window)
+    kmap_p, opad = _pad_kmap(kmap, n_in)
+    w_p = jnp.pad(weights, ((0, 0), (0, cin_p - weights.shape[1]),
+                            (0, 0))).astype(jnp.bfloat16)
+    cap = meta.shape[-1]
 
-    cpad = (-cin) % 128
-    pad = max(window - n_in, 0)
-    feats_p = jnp.pad(feats, ((0, pad), (0, cpad)))
-    weights = jnp.pad(weights, ((0, 0), (0, cpad), (0, 0)))
-    cin = cin + cpad
-
-    kern = functools.partial(_wconv_kernel_grouped, K=K, group=group,
-                             window=window, n_in=n_in, nbuf=nbuf)
+    kern = functools.partial(_wjobs_fwd_kernel, group=group, window=window,
+                             n_in=n_in, cap=cap, nbuf=nbuf)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(cap,),
         in_specs=[
-            pl.BlockSpec((K, TILE), lambda t, s: (0, t)),
+            pl.BlockSpec((K, TILE), lambda j, m: (0, m[j])),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE, cout), lambda t, s: (t, 0)),
+        out_specs=pl.BlockSpec((TILE, cout), lambda j, m: (m[j], 0)),
         scratch_shapes=[
-            pltpu.VMEM((nbuf, window, cin), feats.dtype),
-            pltpu.VMEM((TILE, cout), jnp.float32),
+            pltpu.VMEM((nbuf, window, cin_p), feats.dtype),
             pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )
     out = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_out, cout), feats.dtype),
-    )(starts.reshape(-1), kmap, feats_p, weights)
-    return out
+        kern, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out + opad, cout), feats.dtype),
+    )(meta.reshape(-1), kmap_p, feats_p, w_p)
+    return out[:n_out]
 
 
-def _wconv_kernel(starts_ref,            # scalar prefetch [n_tiles * K]
-                  kmap_ref,              # [K, TILE] int32 (block per tile)
-                  feats_hbm,             # [N_pad, C] in ANY/HBM
-                  w_ref,                 # [K, C, Cout] VMEM
-                  out_ref,               # [TILE, Cout]
-                  win_scratch, acc_scratch, sem,
-                  *, K: int, window: int, n_in: int):
-    t = pl.program_id(0)
-    acc_scratch[...] = jnp.zeros_like(acc_scratch)
+def window_conv_bwd(feats, g, kmap_t, meta, weights_pair, *, group: int,
+                    window: int = WINDOW, nbuf: int = 2):
+    """Fused backward for a same-level windowed conv.
 
-    def get_dma(slot, k):
-        start = starts_ref[t * K + k]
-        return pltpu.make_async_copy(
-            feats_hbm.at[pl.ds(start, window), :],
-            win_scratch.at[slot],
-            sem.at[slot],
-        )
-
-    get_dma(0, 0).start()
-
-    def body(k, _):
-        slot = jax.lax.rem(k, 2)
-        nxt = jax.lax.rem(k + 1, 2)
-
-        @pl.when(k + 1 < K)
-        def _():
-            get_dma(nxt, k + 1).start()
-
-        get_dma(slot, k).wait()
-
-        start = starts_ref[t * K + k]
-        rows = kmap_ref[k, :]                        # [TILE] int32
-        rel = rows - start                           # out-of-window/sentinel
-        # One-hot [TILE, W] built as float BITS via integer ops + bitcast:
-        # an i1->bf16 select trips a Mosaic relayout limitation, and any
-        # int->float convert downstream of an iota gets canonicalized into
-        # an (invalid) f32 iota. Integer select of 1.0f's bit pattern avoids
-        # both.
-        cols = jax.lax.broadcasted_iota(jnp.int32, (TILE, window), 1)
-        one_bits = jnp.int32(0x3F800000)  # bits of 1.0f
-        hit = jnp.where(rel[:, None] == cols, one_bits, 0)
-        valid_row = jnp.where(rows < n_in, one_bits, 0)
-        onehot = pltpu.bitcast(hit & valid_row[:, None],
-                               jnp.float32).astype(jnp.bfloat16)
-        # precision=DEFAULT: a global f32 matmul-precision setting would
-        # otherwise force fp32 contract precision onto bf16 operands, which
-        # Mosaic rejects ("Bad lhs type").
-        g = jax.lax.dot_general(
-            onehot, win_scratch[slot].astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.DEFAULT,
-            preferred_element_type=jnp.float32)      # [TILE, C]
-        acc_scratch[...] += jax.lax.dot_general(
-            g.astype(jnp.bfloat16), w_ref[k].astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.DEFAULT,
-            preferred_element_type=jnp.float32)
-        return ()
-
-    jax.lax.fori_loop(0, K, body, (), unroll=False)
-    out_ref[...] = acc_scratch[...].astype(out_ref.dtype)
-
-
-def window_conv(feats: jnp.ndarray, kmap: jnp.ndarray, starts: jnp.ndarray,
-                weights: jnp.ndarray, *, window: int = WINDOW) -> jnp.ndarray:
-    """feats [N_in, C], kmap [K, N_out], starts [n_tiles, K],
-    weights [K, C, Cout] -> [N_out, Cout]."""
+    feats [N, Cin] (forward input), g [N, Cout] (upstream grad), kmap_t
+    [K, N] transpose map (== kmap for same-level odd kernels), weights_pair
+    [K, Cin, Cout] ALREADY mirrored for same-level maps. Returns
+    (d_feats [N, Cin], d_w_t [K, Cin, Cout]) with d_w_t in transpose-offset
+    order (caller un-mirrors).
+    """
     n_in, cin = feats.shape
-    K, n_out = kmap.shape
-    cout = weights.shape[-1]
-    n_tiles = n_out // TILE
-    assert n_out % TILE == 0
+    K, n_out = kmap_t.shape
+    cout = g.shape[-1]
+    g_p, cout_p = _pad_feats(g.astype(jnp.float32), window)
+    kmap_p, opad = _pad_kmap(kmap_t, n_in)
+    f_p = jnp.pad(feats, ((0, opad), (0, 0))) if opad else feats
+    # wt[k] = W_pair[k]^T padded on the Cout (contract) side
+    wt = jnp.pad(jnp.swapaxes(weights_pair, 1, 2),
+                 ((0, 0), (0, cout_p - cout), (0, 0))).astype(jnp.bfloat16)
+    cap = meta.shape[-1]
 
-    # Window DMA slices must be 128-lane aligned: pad channels to 128.
-    cpad = (-cin) % 128
-    pad = max(window - n_in, 0)
-    feats_p = jnp.pad(feats, ((0, pad), (0, cpad)))
-    weights = jnp.pad(weights, ((0, 0), (0, cpad), (0, 0)))
-    cin = cin + cpad
-
-    kern = functools.partial(_wconv_kernel, K=K, window=window, n_in=n_in)
+    kern = functools.partial(_wjobs_bwd_kernel, group=group, window=window,
+                             n_in=n_in, cap=cap, nbuf=nbuf)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(cap,),
         in_specs=[
-            pl.BlockSpec((K, TILE), lambda t, s: (0, t)),
+            pl.BlockSpec((K, TILE), lambda j, m: (0, m[j])),
+            pl.BlockSpec((TILE, cin), lambda j, m: (m[j], 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE, cout), lambda t, s: (t, 0)),
+        out_specs=(
+            pl.BlockSpec((TILE, cin), lambda j, m: (m[j], 0)),
+            pl.BlockSpec((K, cin, cout_p), lambda j, m: (0, 0, 0)),
+        ),
         scratch_shapes=[
-            pltpu.VMEM((2, window, cin), feats.dtype),
-            pltpu.VMEM((TILE, cout), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((nbuf, window, cout_p), jnp.float32),
+            pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )
-    out = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_out, cout), feats.dtype),
-    )(starts.reshape(-1), kmap, feats_p, weights)
-    return out
+    d_feats, d_w_t = pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_out + opad, cin), feats.dtype),
+            jax.ShapeDtypeStruct((K, cin, cout_p), jnp.float32),
+        ),
+    )(meta.reshape(-1), kmap_p, f_p, g_p, wt)
+    return d_feats[:n_out], d_w_t[:, :, :cout]

@@ -25,7 +25,6 @@ def pyramid_spec_for_model(
     qmode: QMode = QMode.RANDOM_SUBSAMPLE,
     shrink: float = 3.0,
     use_windows: bool = False,
-    window_size: int = 512,
 ) -> PyramidSpec:
     """Derive the static pyramid signature a model needs."""
     nl = model_cls.num_levels()
@@ -40,7 +39,6 @@ def pyramid_spec_for_model(
         maps=tuple(maps),
         qmode=qmode,
         use_windows=use_windows,
-        window_size=window_size,
     )
 
 

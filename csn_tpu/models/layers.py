@@ -79,12 +79,13 @@ class SparseConv(nn.Module):
             kmap_t = kmap
         win_starts = batch.kmaps.get("win!" + self.map_name)
         ksize = int(self.map_name.rsplit("k", 1)[1])
+        win_group = ksize * ksize  # one window per dx-slab of a cubic kernel
         b, l_in, cin = x.shape
         k = kmap.shape[0]
         w = self.param("kernel", _conv_kernel_init, (k, cin, self.features))
         out = sparse_conv(x.reshape(b * l_in, cin), kmap, w, kmap_t=kmap_t,
                           mirror=mirror, win_starts=win_starts,
-                          win_group=ksize)
+                          win_group=win_group)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             out = out + bias[None, :]

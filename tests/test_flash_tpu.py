@@ -70,28 +70,32 @@ def test_flash_dropout_seed_sensitivity_and_mean():
     assert mean_dev < 0.5 * single_dev
 
 
-def test_window_conv_exact_on_tpu():
-    """Windowed one-hot gather conv vs the plain gather path (bf16-level)."""
+def test_window_conv_fwd_bwd_exact_on_tpu():
+    """Worklist windowed conv (fwd one-hot gather + fused d_feats/dW bwd) vs
+    the XLA gather path, on MIXED geometry (sphere shells + planar patches —
+    the planar case broke round-1's fixed one-window-per-tile layout)."""
     from csn_tpu.core.pyramid import MapSpec, PyramidSpec, QMode, \
         build_voxel_batch
-    from csn_tpu.core.window_conv import window_conv, window_conv_grouped, \
-        window_meta
+    from csn_tpu.core.window_conv import window_jobs, window_conv_fwd
     from csn_tpu.core.conv import sparse_conv
 
     rng = np.random.default_rng(0)
 
-    def surface(n=10000):
-        v = rng.normal(size=(n, 3))
+    def mixed(n=10000):
+        k = n // 2
+        v = rng.normal(size=(k, 3))
         v /= np.linalg.norm(v, axis=1, keepdims=True)
-        r = rng.uniform(0.4, 1.0, size=(n, 1))
-        return ((v * r).astype(np.float32),
-                np.zeros((n, 1), np.float32), np.zeros(n, np.int32))
+        a = rng.uniform(-1, 1, size=(n - k, 2))
+        plane = np.concatenate([a, np.full((n - k, 1),
+                                           rng.uniform(-0.5, 0.5))], axis=1)
+        pts = np.concatenate([v * 0.8, plane]).astype(np.float32)
+        return pts, np.zeros((n, 1), np.float32), np.zeros(n, np.int32)
 
-    B, L = 4, 5120
+    B, L = 4, 5632
     spec = PyramidSpec(voxel_size=0.05, num_points=10000, level_caps=(L,),
                        maps=(MapSpec("same", 0, 3),),
                        qmode=QMode.UNWEIGHTED_AVERAGE)
-    vb = build_voxel_batch([surface() for _ in range(B)], spec)
+    vb = build_voxel_batch([mixed() for _ in range(B)], spec)
     kmap_np = vb.kmaps["same0k3"]
     N = B * L
     C = 64
@@ -101,14 +105,24 @@ def test_window_conv_exact_on_tpu():
     ref = np.asarray(sparse_conv(feats, kmap, w))
     scale = np.abs(ref).max()
 
-    meta = window_meta(kmap_np, N, window=512)
-    assert meta is not None, "sorted voxel order should fit 512-windows"
-    out = np.asarray(window_conv(feats, kmap, jnp.asarray(meta), w,
-                                 window=512))
+    meta = jnp.asarray(window_jobs(kmap_np, N, group=9))
+    out = np.asarray(jax.jit(
+        lambda f, k, m, w: window_conv_fwd(f, k, m, w, group=9))(
+        feats, kmap, meta, w))
     assert np.abs(out - ref).max() < 0.01 * scale
 
-    metag = window_meta(kmap_np, N, window=512, group=3)
-    assert metag is not None
-    outg = np.asarray(window_conv_grouped(feats, kmap, jnp.asarray(metag), w,
-                                          group=3, window=512))
-    assert np.abs(outg - ref).max() < 0.01 * scale
+    # full custom-vjp path: windowed fwd + fused windowed bwd vs gather bwd
+    def loss_win(f, w):
+        o = sparse_conv(f, kmap, w, kmap_t=kmap, mirror=True,
+                        win_starts=meta, win_group=9)
+        return jnp.sum(o * o)
+
+    def loss_ref(f, w):
+        o = sparse_conv(f, kmap, w, kmap_t=kmap, mirror=True)
+        return jnp.sum(o * o)
+
+    gf_w, gw_w = jax.jit(jax.grad(loss_win, argnums=(0, 1)))(feats, w)
+    gf_r, gw_r = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))(feats, w)
+    gf_w, gw_w, gf_r, gw_r = map(np.asarray, (gf_w, gw_w, gf_r, gw_r))
+    assert np.abs(gf_w - gf_r).max() < 0.02 * np.abs(gf_r).max()
+    assert np.abs(gw_w - gw_r).max() < 0.02 * np.abs(gw_r).max()

@@ -1,0 +1,109 @@
+"""Host-side window-job worklist invariants (core/window_conv.window_jobs).
+
+The Pallas kernels rely on these properties (no device needed to check them):
+* every valid source row of every offset falls in EXACTLY one of its
+  (tile, group) windows — disjoint coverage, no double counting;
+* starts are sublane-aligned (multiples of 8) and in-bounds given the
+  window-row padding;
+* per output tile exactly one F_FIRST and one F_LAST job, jobs sorted by
+  tile, padding jobs inactive.
+"""
+
+import numpy as np
+
+from csn_tpu.core.pyramid import MapSpec, PyramidSpec, QMode, build_voxel_batch
+from csn_tpu.core.window_conv import (
+    F_ACTIVE, F_FIRST, F_LAST, TILE, WINDOW, window_jobs,
+)
+
+
+def _mixed_geometry_kmap(B=2, L=1024, n=2000, seed=0):
+    rng = np.random.default_rng(seed)
+
+    def mixed():
+        k = n // 2
+        v = rng.normal(size=(k, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        a = rng.uniform(-1, 1, size=(n - k, 2))
+        plane = np.concatenate(
+            [a, np.full((n - k, 1), rng.uniform(-0.5, 0.5))], axis=1)
+        pts = np.concatenate([v * 0.8, plane]).astype(np.float32)
+        return pts, np.zeros((n, 1), np.float32), np.zeros(n, np.int32)
+
+    spec = PyramidSpec(voxel_size=0.08, num_points=n, level_caps=(L,),
+                       maps=(MapSpec("same", 0, 3),),
+                       qmode=QMode.UNWEIGHTED_AVERAGE)
+    vb = build_voxel_batch([mixed() for _ in range(B)], spec)
+    return vb.kmaps["same0k3"], B * L
+
+
+def test_window_jobs_invariants():
+    kmap, n_in = _mixed_geometry_kmap()
+    group = 9
+    meta = window_jobs(kmap, n_in, group=group)
+    tiles, groups, starts, flags = meta[0], meta[1], meta[2], meta[3]
+    active = (flags & F_ACTIVE) != 0
+
+    # alignment + bounds (feats are padded by WINDOW rows)
+    assert (starts % 8 == 0).all()
+    assert (starts[active] >= 0).all()
+    assert (starts[active] <= n_in).all()
+
+    # jobs sorted by tile; per tile exactly one FIRST and one LAST
+    at = tiles[active]
+    assert (np.diff(at) >= 0).all()
+    K, n_out = kmap.shape
+    n_tiles = -(-n_out // TILE)
+    firsts = tiles[((flags & F_FIRST) != 0)]
+    lasts = tiles[((flags & F_LAST) != 0)]
+    assert sorted(firsts.tolist()) == list(range(n_tiles))
+    assert sorted(lasts.tolist()) == list(range(n_tiles))
+
+    # exact coverage: each valid source row matches exactly one window of
+    # its (tile, group)
+    pad = (-n_out) % TILE
+    km = np.concatenate([kmap, np.full((K, pad), n_in, kmap.dtype)], axis=1)
+    for t in range(n_tiles):
+        for g in range(K // group):
+            wins = starts[active & (tiles == t) & (groups == g)]
+            rows = km[g * group:(g + 1) * group,
+                      t * TILE:(t + 1) * TILE].reshape(-1)
+            rows = rows[rows < n_in]
+            if rows.size == 0:
+                continue
+            hits = ((rows[:, None] >= wins[None, :])
+                    & (rows[:, None] < wins[None, :] + WINDOW)).sum(axis=1)
+            assert (hits == 1).all(), (t, g)
+
+
+def test_window_jobs_split_windows_cover_wide_spreads():
+    """Adversarial spread >> WINDOW (the case that broke round-1's fixed
+    one-window layout): sources of one tile alternate between far-apart
+    ranges; the worklist must emit multiple disjoint windows per (tile,
+    group) and still cover every row exactly once."""
+    rng = np.random.default_rng(1)
+    n_in, n_out, K, group = 8192, 512, 27, 9
+    kmap = np.empty((K, n_out), np.int32)
+    for k in range(K):
+        lowhigh = rng.integers(0, 2, size=n_out).astype(bool)
+        low = rng.integers(0, 600, size=n_out)
+        high = rng.integers(n_in - 600, n_in, size=n_out)
+        kmap[k] = np.where(lowhigh, high, low)
+    # sprinkle sentinels
+    kmap[0, ::17] = n_in
+
+    meta = window_jobs(kmap, n_in, group=group)
+    tiles, groups, starts, flags = meta[0], meta[1], meta[2], meta[3]
+    active = (flags & F_ACTIVE) != 0
+    n_tiles = n_out // TILE
+    assert int(active.sum()) > n_tiles * (K // group), "no split windows"
+    assert (starts % 8 == 0).all()
+    for t in range(n_tiles):
+        for g in range(K // group):
+            wins = starts[active & (tiles == t) & (groups == g)]
+            rows = kmap[g * group:(g + 1) * group,
+                        t * TILE:(t + 1) * TILE].reshape(-1)
+            rows = rows[rows < n_in]
+            hits = ((rows[:, None] >= wins[None, :])
+                    & (rows[:, None] < wins[None, :] + WINDOW)).sum(axis=1)
+            assert (hits == 1).all(), (t, g)
