@@ -229,23 +229,34 @@ class _FinalTransitions(nn.Module):
 
 
 class HRNetSeg(HRNetBase):
-    """Plain segmentation head (`models/hrnet.py:214-275`)."""
+    """Plain segmentation head (`models/hrnet.py:214-275`).
+
+    The head is a 2-layer 1x1-conv MLP; its hidden activation is the `fc_1`
+    feature the MID-FC pipeline extracts per point (the reference's
+    `predict_module` returns `(logit, fc_1)`,
+    `MID-FC/ocnn_extraction/ocnn.py:225-237`) — expose it with
+    `return_fc1=True` for the feature-extraction path
+    (csn_tpu/midfc/extraction.py). Hidden width = `d_model` (reference: 256).
+    """
 
     def _setup_head(self):
         self.final_transitions = _FinalTransitions(
             self.NUM_STAGES, self._init_stage_dims(), self.norm_type,
             self.bn_momentum)
-        self.fc1 = Conv1x1(256, use_bias=True)
+        self.fc1 = Conv1x1(self.d_model, use_bias=True)
         self.fc1_norm = Norm(self.norm_type, self.bn_momentum)
         self.fc2 = Conv1x1(self.out_channels, use_bias=True)
 
-    def __call__(self, batch, train: bool = False):
+    def __call__(self, batch, train: bool = False, return_fc1: bool = False):
         out_init, stage_outputs = self.forward_backbone(batch, train)
         out = self.final_transitions(batch, stage_outputs, out_init, train)
-        out = self.fc1(out)
-        out = self.fc1_norm(out, batch.masks[0], train)
-        out = relu_masked(out, batch.masks[0])
-        return self.fc2(out)
+        fc1 = self.fc1(out)
+        fc1 = self.fc1_norm(fc1, batch.masks[0], train)
+        fc1 = relu_masked(fc1, batch.masks[0])
+        logits = self.fc2(fc1)
+        if return_fc1:
+            return logits, fc1
+        return logits
 
 
 class HRNetSimCSN(HRNetBase):

@@ -15,16 +15,20 @@ from csn_tpu.utils.logging import setup_logging
 def build_trainer(config: Config, phases=("train", "val")) -> SegTrainer:
     num_labels = NUM_SEG[config.partnet_category.split("-")[0]]
     model_cls = load_model(config.model)
+    kw = {}
+    if "HRNet" in config.model:  # fc_1 head width (256 in the reference)
+        kw["d_model"] = config.d_model
     model = model_cls(
         out_channels=num_labels,
         conv1_kernel_size=config.conv1_kernel_size,
-        bn_momentum=config.bn_momentum)
+        bn_momentum=config.bn_momentum, **kw)
     spec = pyramid_spec_for_model(
         model_cls, num_points=config.num_points,
         voxel_size=config.voxel_size(),
         conv1_kernel_size=config.conv1_kernel_size,
         level0_cap=config.level0_cap or None,
-        qmode=config.qmode(), shrink=config.level_shrink)
+        qmode=config.qmode(), shrink=config.level_shrink,
+        use_windows=config.resolved_use_windows())
     train_ds = make_partnet_dataset(
         config.partnet_path, config.partnet_category, phases[0],
         distort=config.distort_partnet, normalize=config.normalize_coords,
@@ -37,6 +41,9 @@ def build_trainer(config: Config, phases=("train", "val")) -> SegTrainer:
 
 
 def main(argv=None):
+    from csn_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
     config = get_config(argv)
     setup_logging()
     logging.info("===> Configurations: %s", config)
