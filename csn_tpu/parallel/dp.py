@@ -165,25 +165,123 @@ def make_dp_eval_step(model, mesh: Mesh, *, k_neighbors: int = 0,
     return step
 
 
+def make_dp_trainer_steps(model, mesh: Mesh, *, k_neighbors: int = 0,
+                          ignore_label: int = 255, axis: str = "data"):
+    """Trainer-shaped DP steps (slot-in replacements for BaseTrainer's jitted
+    single-device functions; csn_tpu/train/trainer.py wires them when
+    `--data_parallel N` is set):
+
+      grad_step(params, batch_stats, stacked_q, stacked_keys, rng)
+          -> (loss, grads, new_stats, pred[n_dev, B, P])
+      eval_step(params, batch_stats, stacked_q, stacked_keys)
+          -> (loss[n_dev], point_logits[n_dev, ...], pred[n_dev, ...])
+      ssa_step(params, batch_stats, stacked_q) -> ssa[n_dev, B, L0, d]
+
+    Batches are stacked per-device pytrees (`stack_batches`); grads / BN
+    stats / train loss are pmean'd over ICI, eval outputs stay sharded.
+    """
+    shard_map = jax.shard_map
+    rep, shd = P(), P(axis)
+
+    def unstack(tree):
+        return jax.tree_util.tree_map(lambda x: x[0], tree)
+
+    def apply_model(params, batch_stats, qb, keys, train, mutable, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        args = (qb, keys) if k_neighbors > 0 else (qb,)
+        if mutable:
+            return model.apply(variables, *args, train=train,
+                               mutable=["batch_stats"],
+                               rngs={"dropout": rng})
+        return model.apply(variables, *args, train=train)
+
+    @jax.jit
+    def grad_step(params, batch_stats, stacked_q, stacked_keys, rng):
+        n_dev = mesh.devices.size
+        rngs = jax.random.split(rng, n_dev)
+
+        def inner(params, batch_stats, sq, sk, r):
+            qb = unstack(sq)
+            keys = tuple(unstack(k) for k in sk)
+
+            def loss_fn(p):
+                out, new_vars = apply_model(p, batch_stats, qb, keys, True,
+                                            True, r[0])
+                point_logits = interpolate_to_points(out, qb.interp_idx,
+                                                     qb.interp_w)
+                loss = cross_entropy_ignore(point_logits, qb.labels,
+                                            ignore_label, qb.point_mask)
+                return loss, (new_vars["batch_stats"], point_logits)
+
+            (loss, (new_stats, point_logits)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            from csn_tpu.train.losses import predict_nonzero
+
+            pred = predict_nonzero(point_logits)
+            return (jax.lax.pmean(loss, axis), jax.lax.pmean(grads, axis),
+                    jax.lax.pmean(new_stats, axis), pred[None])
+
+        return shard_map(inner, mesh=mesh,
+                         in_specs=(rep, rep, shd, shd, shd),
+                         out_specs=(rep, rep, rep, shd),
+                         check_vma=False)(params, batch_stats, stacked_q,
+                                          stacked_keys, rngs)
+
+    @jax.jit
+    def eval_step(params, batch_stats, stacked_q, stacked_keys):
+        def inner(params, batch_stats, sq, sk):
+            qb = unstack(sq)
+            keys = tuple(unstack(k) for k in sk)
+            out = apply_model(params, batch_stats, qb, keys, False, False,
+                              None)
+            point_logits = interpolate_to_points(out, qb.interp_idx,
+                                                 qb.interp_w)
+            loss = cross_entropy_ignore(point_logits, qb.labels, ignore_label,
+                                        qb.point_mask)
+            from csn_tpu.train.losses import predict_nonzero
+
+            return loss[None], point_logits[None], predict_nonzero(
+                point_logits)[None]
+
+        return shard_map(inner, mesh=mesh, in_specs=(rep, rep, shd, shd),
+                         out_specs=(shd, shd, shd), check_vma=False)(
+            params, batch_stats, stacked_q, stacked_keys)
+
+    @jax.jit
+    def ssa_step(params, batch_stats, stacked_q):
+        def inner(params, batch_stats, sq):
+            qb = unstack(sq)
+            ssa = model.apply({"params": params, "batch_stats": batch_stats},
+                              qb, train=False, return_ssa=True)
+            return ssa[None]
+
+        return shard_map(inner, mesh=mesh, in_specs=(rep, rep, shd),
+                         out_specs=shd, check_vma=False)(
+            params, batch_stats, stacked_q)
+
+    return grad_step, eval_step, ssa_step
+
+
 def sharded_retrieval_measure(q_feats, q_mask, k_feats, k_mask, mesh: Mesh,
-                              axis: str = "data", query_block: int = 4):
-    """Shape-graph construction across chips: the query set is split over the
-    mesh; every chip scans the full key set (descriptors are small — one
-    [L0, d] block per shape — so replication over ICI is cheap, SURVEY.md
-    §5.8). Returns the full [N_q, N_k] measure on host."""
-    from csn_tpu.retrieval.graph import retrieval_measure
+                              axis: str = "data", key_chunk: int = 8):
+    """Shape-graph construction as a REAL mesh computation (shard_map): the
+    query set is sharded over the `data` axis, the key descriptors are
+    replicated (one [L0, d] block per shape — cheap over ICI, SURVEY.md
+    §5.8); every chip computes its [nq/n_dev, N_k] slice of the mean-of-max
+    cosine measure in one program. Returns the full [N_q, N_k] on host."""
+    from csn_tpu.retrieval.graph import _retrieval_block
 
     n_dev = mesh.devices.size
     nq = q_feats.shape[0]
     per = -(-nq // n_dev)
-    outs = [None] * n_dev
+    pad = per * n_dev - nq
+    qf = np.pad(np.asarray(q_feats, np.float32), ((0, pad), (0, 0), (0, 0)))
+    qm = np.pad(np.asarray(q_mask), ((0, pad), (0, 0)))
 
-    # Host-driven split: each chip handles its slice via device placement.
-    for d in range(n_dev):
-        s, e = d * per, min((d + 1) * per, nq)
-        if s >= e:
-            continue
-        with jax.default_device(mesh.devices.reshape(-1)[d]):
-            outs[d] = retrieval_measure(q_feats[s:e], q_mask[s:e], k_feats,
-                                        k_mask, query_block=query_block)
-    return np.concatenate([o for o in outs if o is not None], axis=0)
+    fn = jax.jit(jax.shard_map(
+        lambda a, b, c, d: _retrieval_block(a, b, c, d, key_chunk=key_chunk),
+        mesh=mesh, in_specs=(P(axis), P(axis), P(), P()), out_specs=P(axis),
+        check_vma=False))
+    out = fn(jnp.asarray(qf), jnp.asarray(qm),
+             jnp.asarray(k_feats, jnp.float32), jnp.asarray(k_mask))
+    return np.asarray(out)[:nq]

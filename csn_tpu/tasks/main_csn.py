@@ -34,7 +34,8 @@ def build_trainer(config: Config, phases=("train", "val")) -> CSNTrainer:
         voxel_size=config.voxel_size(),
         conv1_kernel_size=config.conv1_kernel_size,
         level0_cap=config.level0_cap or None,
-        qmode=config.qmode(), shrink=config.level_shrink)
+        qmode=config.qmode(), shrink=config.level_shrink,
+        use_windows=config.resolved_use_windows())
     train_ds = make_partnet_dataset(
         config.partnet_path, config.partnet_category, phases[0],
         distort=config.distort_partnet, normalize=config.normalize_coords,
@@ -47,6 +48,9 @@ def build_trainer(config: Config, phases=("train", "val")) -> CSNTrainer:
 
 
 def main(argv=None):
+    from csn_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
     config = get_config(argv)
     setup_logging()
     logging.info("===> Configurations: %s", config)

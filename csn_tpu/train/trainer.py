@@ -123,9 +123,23 @@ class BaseTrainer:
         self.batch_stats = None
         self.opt_state = None
 
-        self._grad_step = jax.jit(self._make_grad_step())
+        # `--data_parallel N`: shapes sharded over an N-device mesh
+        # (parallel/dp.py shard_map steps slot in for the single-device
+        # jits; grads/BN stats are psum'd over ICI).
+        self.n_dev = max(getattr(config, "data_parallel", 1), 1)
         self._apply_step = jax.jit(self._make_apply_step())
-        self._eval_step = jax.jit(self._make_eval_step())
+        if self.n_dev > 1:
+            from csn_tpu.parallel import dp
+
+            self.mesh = dp.make_mesh(self.n_dev)
+            self._grad_step, self._eval_step, self._dp_ssa_step = \
+                dp.make_dp_trainer_steps(
+                    self.model, self.mesh, k_neighbors=self.K,
+                    ignore_label=config.ignore_label)
+        else:
+            self.mesh = None
+            self._grad_step = jax.jit(self._make_grad_step())
+            self._eval_step = jax.jit(self._make_eval_step())
 
     # -- model-specific hooks -------------------------------------------------
     def _uses_keys(self) -> bool:
@@ -219,7 +233,9 @@ class BaseTrainer:
     def _fetch_data(self, augment: bool = True,
                     rng: Optional[np.random.Generator] = None):
         rng = rng if rng is not None else self.data_rng
-        idxs = self.sampler.take(self.config.batch_size)
+        idxs = self.sampler.take(self.config.batch_size * self.n_dev)
+        if self.n_dev > 1:
+            return self._fetch_data_dp(idxs, augment, rng)
         if self.K > 0:
             # build the query batch and the K neighbor batches concurrently
             # (independent work; each gets its own spawned generator)
@@ -244,10 +260,35 @@ class BaseTrainer:
             limit_numpoints=self.config.train_limit_numpoints)
         return qb.to_jax(), ()
 
+    def _fetch_data_dp(self, idxs, augment: bool, rng):
+        """Per-device batches stacked along a leading mesh axis; each device
+        batch keeps its local kernel-map index space (no cross-chip gathers
+        in the conv path)."""
+        from csn_tpu.parallel.dp import stack_batches
+
+        B = self.config.batch_size
+        chunks = [idxs[d * B:(d + 1) * B] for d in range(self.n_dev)]
+        rngs = rng.spawn(self.n_dev * (1 + self.K))
+        qbs = [build_batch_from_dataset(
+            self.train_dataset, ch, self.spec, rngs[d], augment,
+            self.config.train_limit_numpoints)
+            for d, ch in enumerate(chunks)]
+        keys = []
+        for k in range(self.K):
+            kbs = []
+            for d, ch in enumerate(chunks):
+                nbr = [self.train_dataset.neighbors[i][1][k] for i in ch]
+                kbs.append(build_batch_from_dataset(
+                    self.train_dataset, nbr, self.spec,
+                    rngs[self.n_dev * (1 + k) + d], augment))
+            keys.append(stack_batches(kbs))
+        return stack_batches(qbs), tuple(keys)
+
     # -- train loop -----------------------------------------------------------
     @property
     def data_len(self) -> int:
-        n_batches = max(len(self.train_dataset) // self.config.batch_size, 1)
+        n_batches = max(len(self.train_dataset)
+                        // (self.config.batch_size * self.n_dev), 1)
         return (n_batches + self.config.iter_size - 1) // self.config.iter_size
 
     def _current_lr(self) -> float:
@@ -358,27 +399,52 @@ class BaseTrainer:
         """Evaluation loop (`trainer_csn.py:400-500`): per-shape IoU with the
         Mink metric definitions, loss and precision@1 averages."""
         bs = max(self.config.test_batch_size, 1)
+        gbs = bs * self.n_dev
         losses, scores, ious = AverageMeter(), AverageMeter(), {}
         n = len(dataset)
         shape_id = 0
-        for start in range(0, n, bs):
-            idxs = list(range(start, min(start + bs, n)))
+        for start in range(0, n, gbs):
+            idxs = list(range(start, min(start + gbs, n)))
             valid = len(idxs)
-            while len(idxs) < bs:
+            while len(idxs) < gbs:
                 idxs.append(idxs[-1])
-            qb_host = build_batch_from_dataset(dataset, idxs, self.spec,
-                                               self.rng, augment=False)
-            # the final partial batch is padded by duplicating the last shape;
-            # mask the duplicates out of the loss (metrics slice [:valid])
-            qb_host.point_mask[valid:] = False
-            qb = qb_host.to_jax()
-            keys = self._fetch_eval_keys(dataset, idxs)
-            loss, point_logits, pred = self._eval_step(
-                self.params, self.batch_stats, qb, keys)
-            pred = np.asarray(pred)
-            labels = np.asarray(qb_host.labels)
-            mask = np.asarray(qb_host.point_mask)
-            losses.update(float(loss), int(mask[:valid].sum()))
+            if self.n_dev > 1:
+                from csn_tpu.parallel.dp import stack_batches
+
+                chunks = [idxs[d * bs:(d + 1) * bs]
+                          for d in range(self.n_dev)]
+                hosts = [build_batch_from_dataset(dataset, ch, self.spec,
+                                                  self.rng, augment=False)
+                         for ch in chunks]
+                # final-batch padding duplicates: masked out of the loss
+                for gi in range(valid, gbs):
+                    hosts[gi // bs].point_mask[gi % bs] = False
+                qb = stack_batches(hosts)
+                keys = self._fetch_eval_keys_dp(dataset, chunks)
+                loss, point_logits, pred = self._eval_step(
+                    self.params, self.batch_stats, qb, keys)
+                labels = np.concatenate([h.labels for h in hosts])
+                mask = np.concatenate([h.point_mask for h in hosts])
+                pred = np.asarray(pred).reshape(gbs, -1)
+                loss_np = np.asarray(loss)
+                for d, h in enumerate(hosts):
+                    losses.update(float(loss_np[d]),
+                                  int(h.point_mask.sum()))
+            else:
+                qb_host = build_batch_from_dataset(dataset, idxs, self.spec,
+                                                   self.rng, augment=False)
+                # the final partial batch is padded by duplicating the last
+                # shape; mask the duplicates out of the loss (metrics slice
+                # [:valid])
+                qb_host.point_mask[valid:] = False
+                qb = qb_host.to_jax()
+                keys = self._fetch_eval_keys(dataset, idxs)
+                loss, point_logits, pred = self._eval_step(
+                    self.params, self.batch_stats, qb, keys)
+                pred = np.asarray(pred)
+                labels = np.asarray(qb_host.labels)
+                mask = np.asarray(qb_host.point_mask)
+                losses.update(float(loss), int(mask[:valid].sum()))
             for b in range(valid):
                 m = mask[b]
                 g, p = labels[b][m], pred[b][m]
@@ -401,6 +467,9 @@ class BaseTrainer:
         return losses.avg, scores.avg, part_iou, shape_iou
 
     def _fetch_eval_keys(self, dataset, idxs):
+        return ()
+
+    def _fetch_eval_keys_dp(self, dataset, chunks):
         return ()
 
     # -- checkpointing --------------------------------------------------------
@@ -563,25 +632,69 @@ class CSNTrainer(BaseTrainer):
             keys.append(kb.to_jax())
         return tuple(keys)
 
+    def _fetch_eval_keys_dp(self, dataset, chunks):
+        if self.K <= 0:
+            return ()
+        from csn_tpu.parallel.dp import stack_batches
+
+        keys = []
+        for i in range(self.K):
+            kbs = []
+            for ch in chunks:
+                nbr = [dataset.neighbors[idx][1][i] for idx in ch]
+                kbs.append(build_batch_from_dataset(
+                    self.train_dataset, nbr, self.spec, self.rng,
+                    augment=False))
+            keys.append(stack_batches(kbs))
+        return tuple(keys)
+
     # -- shape graph ----------------------------------------------------------
     def _all_ssa_descriptors(self, dataset):
         """Batched SSA features for every shape (augmentations disabled, like
-        `csn_utils.py:26-27`). Returns (feats [N, L0, d] fp16, masks [N, L0])."""
+        `csn_utils.py:26-27`). Returns (feats [N, L0, d] fp16, masks [N, L0]).
+        With `--data_parallel N` the forward passes run sharded over the mesh
+        (n_dev batches per step)."""
         bs = self.config.batch_size
+        gbs = bs * self.n_dev
         n = len(dataset)
         feats_out, masks_out = [], []
-        for start in range(0, n, bs):
-            idxs = list(range(start, min(start + bs, n)))
+        for start in range(0, n, gbs):
+            idxs = list(range(start, min(start + gbs, n)))
             valid = len(idxs)
-            while len(idxs) < bs:
+            while len(idxs) < gbs:
                 idxs.append(idxs[-1])
-            qb_host = build_batch_from_dataset(dataset, idxs, self.spec,
-                                               self.rng, augment=False)
-            qb = qb_host.to_jax()
-            ssa = np.asarray(self._ssa_step(self.params, self.batch_stats, qb))
+            if self.n_dev > 1:
+                from csn_tpu.parallel.dp import stack_batches
+
+                chunks = [idxs[d * bs:(d + 1) * bs]
+                          for d in range(self.n_dev)]
+                hosts = [build_batch_from_dataset(dataset, ch, self.spec,
+                                                  self.rng, augment=False)
+                         for ch in chunks]
+                ssa = np.asarray(self._dp_ssa_step(
+                    self.params, self.batch_stats, stack_batches(hosts)))
+                ssa = ssa.reshape(gbs, *ssa.shape[2:])
+                m0 = np.concatenate([h.masks[0] for h in hosts])
+            else:
+                qb_host = build_batch_from_dataset(dataset, idxs, self.spec,
+                                                   self.rng, augment=False)
+                ssa = np.asarray(self._ssa_step(self.params,
+                                                self.batch_stats,
+                                                qb_host.to_jax()))
+                m0 = np.asarray(qb_host.masks[0])
             feats_out.append(ssa[:valid].astype(np.float16))
-            masks_out.append(np.asarray(qb_host.masks[0])[:valid])
+            masks_out.append(m0[:valid])
         return np.concatenate(feats_out), np.concatenate(masks_out)
+
+    def _measure(self, q_feats, q_mask, k_feats, k_mask):
+        """Mean-of-max cosine retrieval measure; sharded over the mesh when
+        `--data_parallel N` is set (parallel/dp.py)."""
+        if self.mesh is not None:
+            from csn_tpu.parallel.dp import sharded_retrieval_measure
+
+            return sharded_retrieval_measure(q_feats, q_mask, k_feats,
+                                             k_mask, self.mesh)
+        return retrieval.retrieval_measure(q_feats, q_mask, k_feats, k_mask)
 
     def construct_shape_graph(self, recalculate: bool):
         """`trainer_csn.py:262-282` + `csn_utils.py:11-111`: random pairs on
@@ -605,13 +718,11 @@ class CSNTrainer(BaseTrainer):
         else:
             logging.info("===> Get pairs based on cosine similarity (SSA)")
             tr_feats, tr_masks = self._all_ssa_descriptors(self.train_dataset)
-            measure = retrieval.retrieval_measure(tr_feats, tr_masks,
-                                                  tr_feats, tr_masks)
+            measure = self._measure(tr_feats, tr_masks, tr_feats, tr_masks)
             self.train_dataset.neighbors = retrieval.knn_graph_from_measure(
                 measure, K, is_same=True)
             va_feats, va_masks = self._all_ssa_descriptors(self.val_dataset)
-            measure = retrieval.retrieval_measure(va_feats, va_masks,
-                                                  tr_feats, tr_masks)
+            measure = self._measure(va_feats, va_masks, tr_feats, tr_masks)
             self.val_dataset.neighbors = retrieval.knn_graph_from_measure(
                 measure, K, is_same=False)
         # Log sample point clouds (`csn_utils.py:99-109`).
@@ -758,7 +869,6 @@ class CSNTrainer(BaseTrainer):
         collection (`tasks/main_csn.py:121-141`)."""
         tr_feats, tr_masks = self._all_ssa_descriptors(self.train_dataset)
         te_feats, te_masks = self._all_ssa_descriptors(test_dataset)
-        measure = retrieval.retrieval_measure(te_feats, te_masks, tr_feats,
-                                              tr_masks)
+        measure = self._measure(te_feats, te_masks, tr_feats, tr_masks)
         test_dataset.neighbors = retrieval.knn_graph_from_measure(
             measure, self.config.k_neighbors, is_same=False)

@@ -132,3 +132,84 @@ def test_sharded_retrieval_matches_single_device():
     got = sharded_retrieval_measure(q, qm, k, km, mesh, query_block=2)
     ref = retrieval_measure(q, qm, k, km, query_block=2)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_retrieval_matches_single_device():
+    """shard_map retrieval measure (queries sharded, keys replicated) equals
+    the single-device blocked measure."""
+    from csn_tpu.parallel.dp import make_mesh, sharded_retrieval_measure
+    from csn_tpu.retrieval.graph import retrieval_measure
+
+    rng = np.random.default_rng(0)
+    nq, nk, P, d = 11, 7, 16, 8
+    qf = rng.normal(size=(nq, P, d)).astype(np.float32)
+    kf = rng.normal(size=(nk, P, d)).astype(np.float32)
+    qm = rng.random((nq, P)) < 0.8
+    km = rng.random((nk, P)) < 0.8
+    qm[:, 0] = True
+    km[:, 0] = True
+
+    ref = retrieval_measure(qf, qm, kf, km)
+    mesh = make_mesh(8)
+    out = sharded_retrieval_measure(qf, qm, kf, km, mesh)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_dp_trainer_matches_single_device(tmp_path):
+    """`--data_parallel 8` through the PRODUCT path (CSNTrainer): eval is
+    exactly the single-device computation (running BN stats); one DP train
+    step produces a loss close to the single-device loss on the same shapes
+    (only train-mode BN batch statistics differ: local-per-device vs
+    global)."""
+    from csn_tpu.config import Config
+    from csn_tpu.data.partnet import write_synthetic_partnet
+    from csn_tpu.tasks.main_csn import build_trainer
+
+    root = str(tmp_path / "partnet")
+    write_synthetic_partnet(root, category="Display", n_train=8, n_val=8,
+                            n_test=2, num_points=48)
+    common = dict(
+        model="HRNetSimCSN2S", partnet_path=root, partnet_category="Display",
+        conv1_kernel_size=3, d_model=16, n_head=2, k_neighbors=1,
+        num_points=48, level_shrink=1.5, lr=0.05, optimizer="SGD",
+        scheduler="StepLR", seed=0, max_epoch=1, stat_freq=100,
+        avg_feat=True,  # deterministic quantization -> identical batches
+    )
+    t1 = build_trainer(Config(**common, batch_size=8, test_batch_size=8,
+                              log_dir=str(tmp_path / "l1")).normalized())
+    t8 = build_trainer(Config(**common, batch_size=1, test_batch_size=1,
+                              data_parallel=8,
+                              log_dir=str(tmp_path / "l8")).normalized())
+    assert t8.mesh is not None and t8.mesh.devices.size == 8
+    t1.initialize()
+    t8.initialize()
+    # same seed -> identical init params
+    for a, b in zip(jax.tree_util.tree_leaves(t1.params),
+                    jax.tree_util.tree_leaves(t8.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    nbrs = [(i, [(i + 1) % 8]) for i in range(8)]
+    t1.val_dataset.neighbors = list(nbrs)
+    t8.val_dataset.neighbors = list(nbrs)
+    r1 = t1.test_on(t1.val_dataset)
+    r8 = t8.test_on(t8.val_dataset)
+    assert r8[0] == pytest.approx(r1[0], rel=1e-4)      # loss
+    assert r8[2] == pytest.approx(r1[2], abs=1e-3)      # Part IoU
+    assert r8[3] == pytest.approx(r1[3], abs=1e-3)      # Shape IoU
+
+    t1.train_dataset.neighbors = list(nbrs)
+    t8.train_dataset.neighbors = list(nbrs)
+    t1._train_iter()
+    t8._train_iter()
+    t1._close_prefetch()
+    t8._close_prefetch()
+    assert np.isfinite(t8.losses.avg)
+    # same shapes, same params; only train-mode BN stats differ
+    assert abs(t8.losses.avg - t1.losses.avg) \
+        < 0.1 * abs(t1.losses.avg) + 0.05
+
+    # DP shape-graph construction end-to-end (sharded descriptors + measure)
+    t8.construct_shape_graph(recalculate=True)
+    assert len(t8.train_dataset.neighbors) == 8
+    assert all(len(nb) == 1 and nb[0] != i
+               for i, nb in t8.train_dataset.neighbors)
