@@ -53,3 +53,12 @@ class Prefetcher:
                 self.q.get_nowait()
         except queue.Empty:
             pass
+        # Join (bounded): a daemon thread killed at interpreter exit while
+        # inside native code aborts the process ("FATAL: exception not
+        # rethrown"); draining above unblocks a worker stuck in q.put.
+        self._thread.join(timeout=60.0)
+        try:  # drop anything produced between drain and join
+            while True:
+                self.q.get_nowait()
+        except queue.Empty:
+            pass

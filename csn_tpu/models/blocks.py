@@ -83,4 +83,39 @@ class Bottleneck(nn.Module):
         return relu_masked(out + residual, mask)
 
 
-BLOCKS = {"BasicBlock": BasicBlock, "Bottleneck": Bottleneck}
+class BasicBlockIN(BasicBlock):
+    """`resnet_block.py:62-63`."""
+
+    norm_type: NormType = NormType.INSTANCE_NORM
+
+
+class BasicBlockINBN(BasicBlock):
+    """`resnet_block.py:66-67`."""
+
+    norm_type: NormType = NormType.INSTANCE_BATCH_NORM
+
+
+class BasicBlockLN(BasicBlock):
+    """`resnet_block.py:70-71`."""
+
+    norm_type: NormType = NormType.LAYER_NORM
+
+
+class BottleneckIN(Bottleneck):
+    """`resnet_block.py:143-144`."""
+
+    norm_type: NormType = NormType.INSTANCE_NORM
+
+
+class BottleneckINBN(Bottleneck):
+    """`resnet_block.py:147-148`."""
+
+    norm_type: NormType = NormType.INSTANCE_BATCH_NORM
+
+
+BLOCKS = {
+    "BasicBlock": BasicBlock, "Bottleneck": Bottleneck,
+    "BasicBlockIN": BasicBlockIN, "BasicBlockINBN": BasicBlockINBN,
+    "BasicBlockLN": BasicBlockLN, "BottleneckIN": BottleneckIN,
+    "BottleneckINBN": BottleneckINBN,
+}

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from csn_tpu.core.pyramid import MapSpec
-from csn_tpu.models.blocks import BasicBlock, Bottleneck
+from csn_tpu.models.blocks import BasicBlock, BasicBlockINBN, Bottleneck
 from csn_tpu.models.layers import Conv1x1, MaskedBatchNorm, Norm, NormType, \
     SparseConv, relu_masked
 from csn_tpu.models.hrnet import _dedup
@@ -114,6 +114,13 @@ class ResUNet14(ResUNetBase):
 
 class ResUNet18(ResUNetBase):
     LAYERS = (2, 2, 2, 2, 2, 2)
+
+
+class ResUNet18INBN(ResUNet18):
+    """`resunet.py:203-205`."""
+
+    NORM_TYPE = NormType.INSTANCE_BATCH_NORM
+    BLOCK = BasicBlockINBN
 
 
 class ResUNet34(ResUNetBase):

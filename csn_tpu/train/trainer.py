@@ -344,6 +344,7 @@ class BaseTrainer:
         self.opt_state = set_lr(self.opt_state, self._current_lr())
         self.params, self.opt_state = self._apply_step(
             self.params, self.opt_state, grads_acc)
+        self._last_grads = grads_acc  # for _log_params grad histograms
 
         self.data_time_avg.update(data_time)
         self.iter_time_avg.update(self.iter_timer.toc(False))
@@ -375,14 +376,20 @@ class BaseTrainer:
         self.writer.add_scalar("training/learning_rate", lr, self.curr_iter)
 
     def _log_params(self):
+        """Weight AND gradient histograms (`trainer_csn.py:309-313` logs
+        both; grads come from the most recent train iteration)."""
         if not self.config.save_param_histogram:
             return
-        flat = jax.tree_util.tree_leaves_with_path(self.params)
-        for path, leaf in flat:
+        grads = getattr(self, "_last_grads", None)
+        gmap = (dict(jax.tree_util.tree_leaves_with_path(grads))
+                if grads is not None else {})
+        for path, leaf in jax.tree_util.tree_leaves_with_path(self.params):
             name = "/".join(str(getattr(p, "key", p)) for p in path)
-            self.writer.add_histogram(
-                self.model.__class__.__name__ + "/" + name,
-                np.asarray(leaf), self.epoch)
+            tag = self.model.__class__.__name__ + "/" + name
+            self.writer.add_histogram(tag, np.asarray(leaf), self.epoch)
+            if path in gmap:
+                self.writer.add_histogram(tag + ".grad",
+                                          np.asarray(gmap[path]), self.epoch)
 
     # -- eval -----------------------------------------------------------------
     def validate(self) -> Tuple[float, float, float, float]:
@@ -725,11 +732,17 @@ class CSNTrainer(BaseTrainer):
             measure = self._measure(va_feats, va_masks, tr_feats, tr_masks)
             self.val_dataset.neighbors = retrieval.knn_graph_from_measure(
                 measure, K, is_same=False)
-        # Log sample point clouds (`csn_utils.py:99-109`).
+        # Log the first 2 query point clouds WITH their retrieved neighbors
+        # (`csn_utils.py:99-109`).
         for idx in range(min(2, len(self.train_dataset))):
             pc = self.train_dataset.coords[idx]
             self.writer.add_mesh(f"training/query_pc_{idx}", pc[None, ...],
                                  self.n_graph_construction)
+            for nn_idx in self.train_dataset.neighbors[idx][1]:
+                npc = self.train_dataset.coords[nn_idx]
+                self.writer.add_mesh(
+                    f"training/query_pc_{idx}/neighbor_pc_{nn_idx}",
+                    npc[None, ...], self.n_graph_construction)
 
     # -- checkpoint extensions ------------------------------------------------
     def _host_state(self):

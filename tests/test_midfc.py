@@ -204,3 +204,61 @@ def test_csa_training_two_phase(midfc_roots, tmp_path):
 
     best, path = train_csa(cfg, tr, te, tr_graph, te_graph)
     assert os.path.exists(path)
+
+
+def test_convert_released_checkpoint_schema():
+    """Parity readiness for the released `trained_layers.pth` (PARITY.md):
+    a state dict with the EXACT key names/shapes the released CSA checkpoints
+    carry (recorded from the reference module definitions,
+    `MID-FC/csa_models.py:146-180`: CrossShapeAt(num_classes, d_model=256,
+    n_heads=8, K=4, d_k=d_v=256, attention_type='csa', after_fc=True) —
+    including keys unused at eval like fc_1.* and num_batches_tracked) must
+    convert into a tree whose every leaf exists in our CrossShapeAt init tree
+    with the same shape, so the first online run is turnkey."""
+    import jax
+
+    from csn_tpu.midfc.convert import convert_state_dict
+    from csn_tpu.midfc.model import get_model
+
+    C = 39  # Chair
+    rng = np.random.default_rng(0)
+
+    def arr(*shape):
+        return rng.normal(size=shape).astype(np.float32)
+
+    sd = {
+        # fc_1 block instantiated by the module even for after_fc=True
+        "fc_1.0.0.weight": arr(256, 928, 1, 1),
+        "fc_1.0.1.weight": arr(256),
+        "fc_1.0.1.bias": arr(256),
+        "fc_1.0.1.running_mean": arr(256),
+        "fc_1.0.1.running_var": np.abs(arr(256)),
+        "fc_1.0.1.num_batches_tracked": np.asarray(100),
+        "logit.weight": arr(C, 256, 1, 1),
+        "attention.w_qs.weight": arr(8 * 256, 256),
+        "attention.w_ks.weight": arr(8 * 256, 256),
+        "attention.w_vs.weight": arr(8 * 256, 256),
+        "attention.fc.weight": arr(256, 8 * 256),
+        "attention.norm.weight": arr(256),
+        "attention.norm.bias": arr(256),
+        "compatibility_q.weight": arr(256, 256),
+        "compatibility_q.bias": arr(256),
+        "compatibility_k.weight": arr(256, 256),
+        "compatibility_k.bias": arr(256),
+    }
+    params, stats = convert_state_dict(sd, after_fc=True)
+    assert stats == {}  # after_fc=True: no running stats used at eval
+
+    model = get_model("csa", C, n_heads=8, K=4, chunk_size=None)
+    x = jnp.zeros((1, 20, 256))
+    nbrs = jnp.zeros((1, 5, 20, 256))
+    ref = jax.jit(lambda r, a, b: model.init(r, a, b, train=False))(
+        jax.random.PRNGKey(0), x, nbrs)["params"]
+
+    def shapes(tree):
+        return {jax.tree_util.keystr(p): np.asarray(l).shape
+                for p, l in jax.tree_util.tree_leaves_with_path(tree)}
+
+    conv_shapes, init_shapes = shapes(params), shapes(ref)
+    assert conv_shapes == init_shapes, (
+        sorted(set(conv_shapes) ^ set(init_shapes)))
