@@ -83,8 +83,8 @@ def _conv_impl(feats, kmap, weights, accum_dtype=jnp.float32,
     return out.astype(feats.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def sparse_conv_tvjp(feats, weights, kmap, kmap_t, win_starts,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def sparse_conv_tvjp(feats, weights, kmap, kmap_t, win_starts, win_starts_t,
                      mirror: bool, win_group: int, win_window: int):
     """Sparse conv with an all-gather backward.
 
@@ -97,9 +97,12 @@ def sparse_conv_tvjp(feats, weights, kmap, kmap_t, win_starts,
                kernels pass kmap itself with mirror=True (offset o's
                transpose edges live at offset -o = reversed product order).
       mirror:  pair d_out rows of offset k' with W[K-1-k'] (same-level maps).
-      win_starts: optional [n_tiles, K//win_group] window metadata — forward
-               runs the Pallas windowed-gather kernel (core/window_conv.py)
-               instead of the XLA gather. Backward is unaffected.
+      win_starts: optional window-job worklist (core/window_conv.py) —
+               forward runs the Pallas windowed-gather kernel instead of
+               the XLA gather.
+      win_starts_t: optional worklist for the TRANSPOSE map — backward runs
+               the fused windowed d_feats+dW kernel (for same-level maps
+               this is the forward worklist).
     """
     return _conv_fwd_impl(feats, kmap, weights, win_starts, win_group,
                           win_window)
@@ -114,33 +117,33 @@ def _conv_fwd_impl(feats, kmap, weights, win_starts, win_group, win_window):
     return _conv_impl(feats, kmap, weights)
 
 
-def _tvjp_fwd(feats, weights, kmap, kmap_t, win_starts, mirror, win_group,
-              win_window):
+def _tvjp_fwd(feats, weights, kmap, kmap_t, win_starts, win_starts_t, mirror,
+              win_group, win_window):
     out = _conv_fwd_impl(feats, kmap, weights, win_starts, win_group,
                          win_window)
-    return out, (feats, weights, kmap, kmap_t, win_starts)
+    return out, (feats, weights, kmap, kmap_t, win_starts_t)
 
 
 def _tvjp_bwd(mirror, win_group, win_window, res, g):
-    feats, weights, kmap, kmap_t, win_starts = res
+    feats, weights, kmap, kmap_t, win_starts_t = res
     g = g.astype(jnp.float32)
     # weight paired with the transpose-map offset k: mirrored for same-level
     # maps (offset -o lives at index K-1-k in product order), identity for
     # down/up pairs.
     w_for_t = weights[::-1] if mirror else weights
 
-    if win_starts is not None and mirror:
-        # Windowed fused backward (same-level maps: kmap_t == kmap, so the
-        # forward worklist drives the transpose gathers too). One Pallas
-        # pass emits d_feats AND dW — see core/window_conv.py.
+    if win_starts_t is not None:
+        # Windowed fused backward over the transpose map's worklist (== the
+        # forward worklist for same-level maps). One Pallas pass emits
+        # d_feats AND dW — see core/window_conv.py.
         from csn_tpu.core.window_conv import window_conv_bwd
 
         d_feats, d_w_t = window_conv_bwd(
-            feats, g, kmap_t, win_starts, w_for_t, group=win_group,
+            feats, g, kmap_t, win_starts_t, w_for_t, group=win_group,
             window=win_window)
-        d_w = d_w_t[::-1]
+        d_w = d_w_t[::-1] if mirror else d_w_t
         return (d_feats.astype(feats.dtype), d_w.astype(weights.dtype),
-                None, None, None)
+                None, None, None, None)
 
     f32 = feats.astype(jnp.float32)
     # ONE gather per offset serves both gradients:
@@ -158,7 +161,7 @@ def _tvjp_bwd(mirror, win_group, win_window, res, g):
     d_w = d_w_t[::-1] if mirror else d_w_t
 
     return (d_feats.astype(feats.dtype), d_w.astype(weights.dtype), None,
-            None, None)
+            None, None, None)
 
 
 sparse_conv_tvjp.defvjp(_tvjp_fwd, _tvjp_bwd)
@@ -171,6 +174,7 @@ def sparse_conv(
     kmap_t: jnp.ndarray = None,
     mirror: bool = False,
     win_starts: jnp.ndarray = None,
+    win_starts_t: jnp.ndarray = None,
     win_group: int = 3,
     win_window: int = 512,
     *,
@@ -180,11 +184,14 @@ def sparse_conv(
 
     With `kmap_t` (transpose table), the fast all-gather backward is used;
     without it, plain autodiff (scatter-add backward) applies. `win_starts`
-    additionally routes the forward through the Pallas windowed kernel.
+    / `win_starts_t` route forward / backward through the Pallas windowed
+    kernels (for same-level maps pass the same worklist for both).
     """
     if kmap_t is not None:
+        if mirror and win_starts_t is None:
+            win_starts_t = win_starts
         return sparse_conv_tvjp(feats, weights, kmap, kmap_t, win_starts,
-                                mirror, win_group, win_window)
+                                win_starts_t, mirror, win_group, win_window)
     return _conv_impl(feats, kmap, weights, accum_dtype, remat=True)
 
 

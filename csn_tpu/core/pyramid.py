@@ -583,8 +583,9 @@ def build_voxel_batch(
         interp_w[b, :p] = np.where(ok, lw, 0.0)
 
     if spec.use_windows:
-        # Windowed-conv job worklists for every same-level k3 map (the bulk
-        # of backbone compute; core/window_conv.py). The key set is a pure
+        # Windowed-conv job worklists for every odd-kernel map — same-level
+        # k3/k5 AND strided down/up (key translation preserves sorted order
+        # across levels too; core/window_conv.py). The key set is a pure
         # function of spec.maps, so the batch pytree structure is identical
         # across batches (jit-signature stability). Pathological geometry
         # overflowing the static job capacity disables windows for the whole
@@ -594,11 +595,12 @@ def build_voxel_batch(
         try:
             win: Dict[str, np.ndarray] = {}
             for m in spec.maps:
-                if not (m.kind == "same" and m.ksize == 3):
-                    continue
-                n_in = B * spec.level_caps[m.level]
+                if m.ksize % 2 == 0:
+                    continue  # even (k2) maps: dense small gathers
+                src_l = m.level + 1 if m.kind == "up" else m.level
+                n_in = B * spec.level_caps[src_l]
                 win["win!" + m.name] = window_jobs(
-                    kmaps[m.name], n_in, group=m.ksize ** 2, cap_mult=1.5)
+                    kmaps[m.name], n_in, group=m.ksize ** 2, cap_mult=2.0)
             kmaps.update(win)
         except WindowOverflow as e:  # pragma: no cover - rare geometry
             import logging

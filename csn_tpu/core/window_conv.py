@@ -376,19 +376,25 @@ def window_conv_bwd(feats, g, kmap_t, meta, weights_pair, *, group: int,
     (d_feats [N, Cin], d_w_t [K, Cin, Cout]) with d_w_t in transpose-offset
     order (caller un-mirrors).
     """
-    n_in, cin = feats.shape
+    n_out_f, cin_raw = feats.shape
     K, n_out = kmap_t.shape
-    cout = g.shape[-1]
+    assert n_out_f == n_out  # d_feats rows == transpose-map outputs
+    n_src = g.shape[0]       # gather SOURCE rows (differs from n_out for
+    cout = g.shape[-1]       # strided down/up pairs)
     g_p, cout_p = _pad_feats(g.astype(jnp.float32), window)
-    kmap_p, opad = _pad_kmap(kmap_t, n_in)
-    f_p = jnp.pad(feats, ((0, opad), (0, 0))) if opad else feats
-    # wt[k] = W_pair[k]^T padded on the Cout (contract) side
+    kmap_p, opad = _pad_kmap(kmap_t, n_src)
+    # pad tiny channel counts (the 3-channel stem input) to a sublane
+    # multiple so f_tile blocks / dW tiles stay layout-friendly
+    cin = max(-(-cin_raw // 8) * 8, 8)
+    f_p = jnp.pad(feats, ((0, opad), (0, cin - cin_raw)))
+    # wt[k] = W_pair[k]^T padded on the Cout (contract) AND Cin sides
     wt = jnp.pad(jnp.swapaxes(weights_pair, 1, 2),
-                 ((0, 0), (0, cout_p - cout), (0, 0))).astype(jnp.bfloat16)
+                 ((0, 0), (0, cout_p - cout),
+                  (0, cin - cin_raw))).astype(jnp.bfloat16)
     cap = meta.shape[-1]
 
     kern = functools.partial(_wjobs_bwd_kernel, group=group, window=window,
-                             n_in=n_in, cap=cap, nbuf=nbuf)
+                             n_in=n_src, cap=cap, nbuf=nbuf)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(cap,),
@@ -414,4 +420,4 @@ def window_conv_bwd(feats, g, kmap_t, meta, weights_pair, *, group: int,
             jax.ShapeDtypeStruct((K, cin, cout_p), jnp.float32),
         ),
     )(meta.reshape(-1), kmap_p, f_p, g_p, wt)
-    return d_feats[:n_out], d_w_t[:, :, :cout]
+    return d_feats[:n_out, :cin_raw], d_w_t[:, :cin_raw, :cout]

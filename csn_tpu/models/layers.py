@@ -78,6 +78,7 @@ class SparseConv(nn.Module):
         if t_name == self.map_name:
             kmap_t = kmap
         win_starts = batch.kmaps.get("win!" + self.map_name)
+        win_starts_t = batch.kmaps.get("win!" + t_name)
         ksize = int(self.map_name.rsplit("k", 1)[1])
         win_group = ksize * ksize  # one window per dx-slab of a cubic kernel
         b, l_in, cin = x.shape
@@ -85,7 +86,7 @@ class SparseConv(nn.Module):
         w = self.param("kernel", _conv_kernel_init, (k, cin, self.features))
         out = sparse_conv(x.reshape(b * l_in, cin), kmap, w, kmap_t=kmap_t,
                           mirror=mirror, win_starts=win_starts,
-                          win_group=win_group)
+                          win_starts_t=win_starts_t, win_group=win_group)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             out = out + bias[None, :]

@@ -126,3 +126,83 @@ def test_window_conv_fwd_bwd_exact_on_tpu():
     gf_w, gw_w, gf_r, gw_r = map(np.asarray, (gf_w, gw_w, gf_r, gw_r))
     assert np.abs(gf_w - gf_r).max() < 0.02 * np.abs(gf_r).max()
     assert np.abs(gw_w - gw_r).max() < 0.02 * np.abs(gw_r).max()
+
+
+def test_window_conv_k5_stem_and_strided_on_tpu():
+    """Windowed conv parity for the k5 stem (cin=3: channel padding in both
+    kernels) and the strided down/up pair (backward gathers from the OTHER
+    level's row space via the transpose map's worklist)."""
+    from csn_tpu.core.pyramid import MapSpec, PyramidSpec, QMode, \
+        build_voxel_batch
+    from csn_tpu.core.window_conv import window_jobs
+    from csn_tpu.core.conv import sparse_conv
+
+    rng = np.random.default_rng(1)
+
+    def mixed(n=8000):
+        k = n // 2
+        v = rng.normal(size=(k, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        a = rng.uniform(-1, 1, size=(n - k, 2))
+        plane = np.concatenate([a, np.full((n - k, 1),
+                                           rng.uniform(-0.5, 0.5))], axis=1)
+        pts = np.concatenate([v * 0.8, plane]).astype(np.float32)
+        return pts, np.zeros((n, 1), np.float32), np.zeros(n, np.int32)
+
+    B, L0, L1 = 4, 5632, 1880
+    spec = PyramidSpec(voxel_size=0.05, num_points=8000,
+                       level_caps=(L0, L1),
+                       maps=(MapSpec("same", 0, 5), MapSpec("down", 0, 3),
+                             MapSpec("up", 0, 3)),
+                       qmode=QMode.UNWEIGHTED_AVERAGE)
+    vb = build_voxel_batch([mixed() for _ in range(B)], spec)
+    N0, N1 = B * L0, B * L1
+
+    def grads(loss):
+        return jax.jit(jax.grad(loss, argnums=(0, 1)))
+
+    # --- k5 stem, cin=3 -> 32 (same-level: shared worklist, mirror) -------
+    k5 = jnp.asarray(vb.kmaps["same0k5"])
+    meta5 = jnp.asarray(window_jobs(vb.kmaps["same0k5"], N0, group=25))
+    x3 = jnp.asarray(rng.normal(size=(N0, 3)).astype(np.float32))
+    w5 = jnp.asarray(rng.normal(size=(125, 3, 32)).astype(np.float32) * 0.1)
+
+    def loss5(x, w, win, win_t):
+        o = sparse_conv(x, k5, w, kmap_t=k5, mirror=True, win_starts=win,
+                        win_starts_t=win_t, win_group=25)
+        return jnp.sum(o * o)
+
+    gx_w, gw_w = grads(lambda x, w: loss5(x, w, meta5, meta5))(x3, w5)
+    gx_r, gw_r = grads(lambda x, w: loss5(x, w, None, None))(x3, w5)
+    assert np.abs(np.asarray(gx_w) - np.asarray(gx_r)).max() \
+        < 0.02 * np.abs(np.asarray(gx_r)).max()
+    assert np.abs(np.asarray(gw_w) - np.asarray(gw_r)).max() \
+        < 0.02 * np.abs(np.asarray(gw_r)).max()
+
+    # --- strided down conv (bwd worklist = the up map's) ------------------
+    kd = jnp.asarray(vb.kmaps["down0k3"])
+    ku = jnp.asarray(vb.kmaps["up0k3"])
+    metad = jnp.asarray(window_jobs(vb.kmaps["down0k3"], N0, group=9,
+                                    cap_mult=2.0))
+    metau = jnp.asarray(window_jobs(vb.kmaps["up0k3"], N1, group=9,
+                                    cap_mult=2.0))
+    xd = jnp.asarray(rng.normal(size=(N0, 32)).astype(np.float32))
+    wd = jnp.asarray(rng.normal(size=(27, 32, 64)).astype(np.float32) * 0.1)
+
+    def lossd(x, w, win, win_t):
+        o = sparse_conv(x, kd, w, kmap_t=ku, mirror=False, win_starts=win,
+                        win_starts_t=win_t, win_group=9)
+        return jnp.sum(o * o)
+
+    out_w = np.asarray(jax.jit(
+        lambda x, w: sparse_conv(x, kd, w, kmap_t=ku, win_starts=metad,
+                                 win_group=9))(xd, wd))
+    out_r = np.asarray(jax.jit(
+        lambda x, w: sparse_conv(x, kd, w, kmap_t=ku))(xd, wd))
+    assert np.abs(out_w - out_r).max() < 0.01 * np.abs(out_r).max()
+    gx_w, gw_w = grads(lambda x, w: lossd(x, w, metad, metau))(xd, wd)
+    gx_r, gw_r = grads(lambda x, w: lossd(x, w, None, None))(xd, wd)
+    assert np.abs(np.asarray(gx_w) - np.asarray(gx_r)).max() \
+        < 0.02 * max(np.abs(np.asarray(gx_r)).max(), 1e-3)
+    assert np.abs(np.asarray(gw_w) - np.asarray(gw_r)).max() \
+        < 0.02 * np.abs(np.asarray(gw_r)).max()
