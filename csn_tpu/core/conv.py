@@ -83,9 +83,10 @@ def _conv_impl(feats, kmap, weights, accum_dtype=jnp.float32,
     return out.astype(feats.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def sparse_conv_tvjp(feats, weights, kmap, kmap_t, win_starts, win_starts_t,
-                     mirror: bool, win_group: int, win_window: int):
+                     mirror: bool, win_group: int, win_window: int,
+                     win_window_t: int = 512):
     """Sparse conv with an all-gather backward.
 
     Args:
@@ -118,13 +119,13 @@ def _conv_fwd_impl(feats, kmap, weights, win_starts, win_group, win_window):
 
 
 def _tvjp_fwd(feats, weights, kmap, kmap_t, win_starts, win_starts_t, mirror,
-              win_group, win_window):
+              win_group, win_window, win_window_t):
     out = _conv_fwd_impl(feats, kmap, weights, win_starts, win_group,
                          win_window)
     return out, (feats, weights, kmap, kmap_t, win_starts_t)
 
 
-def _tvjp_bwd(mirror, win_group, win_window, res, g):
+def _tvjp_bwd(mirror, win_group, win_window, win_window_t, res, g):
     feats, weights, kmap, kmap_t, win_starts_t = res
     g = g.astype(jnp.float32)
     # weight paired with the transpose-map offset k: mirrored for same-level
@@ -140,7 +141,7 @@ def _tvjp_bwd(mirror, win_group, win_window, res, g):
 
         d_feats, d_w_t = window_conv_bwd(
             feats, g, kmap_t, win_starts_t, w_for_t, group=win_group,
-            window=win_window)
+            window=win_window_t)
         d_w = d_w_t[::-1] if mirror else d_w_t
         return (d_feats.astype(feats.dtype), d_w.astype(weights.dtype),
                 None, None, None, None)
@@ -177,6 +178,7 @@ def sparse_conv(
     win_starts_t: jnp.ndarray = None,
     win_group: int = 3,
     win_window: int = 512,
+    win_window_t: int = None,
     *,
     accum_dtype=jnp.float32,
 ) -> jnp.ndarray:
@@ -190,8 +192,11 @@ def sparse_conv(
     if kmap_t is not None:
         if mirror and win_starts_t is None:
             win_starts_t = win_starts
+        if win_window_t is None:
+            win_window_t = win_window
         return sparse_conv_tvjp(feats, weights, kmap, kmap_t, win_starts,
-                                win_starts_t, mirror, win_group, win_window)
+                                win_starts_t, mirror, win_group, win_window,
+                                win_window_t)
     return _conv_impl(feats, kmap, weights, accum_dtype, remat=True)
 
 

@@ -590,7 +590,9 @@ def build_voxel_batch(
         # across batches (jit-signature stability). Pathological geometry
         # overflowing the static job capacity disables windows for the whole
         # batch (gather fallback — one retrace; logged).
-        from csn_tpu.core.window_conv import WindowOverflow, window_jobs
+        from csn_tpu.core.window_conv import (
+            WindowOverflow, window_for_map, window_jobs,
+        )
 
         try:
             win: Dict[str, np.ndarray] = {}
@@ -600,7 +602,8 @@ def build_voxel_batch(
                 src_l = m.level + 1 if m.kind == "up" else m.level
                 n_in = B * spec.level_caps[src_l]
                 win["win!" + m.name] = window_jobs(
-                    kmaps[m.name], n_in, group=m.ksize ** 2, cap_mult=2.0)
+                    kmaps[m.name], n_in, window=window_for_map(m.name),
+                    group=m.ksize ** 2, cap_mult=2.0)
             kmaps.update(win)
         except WindowOverflow as e:  # pragma: no cover - rare geometry
             import logging

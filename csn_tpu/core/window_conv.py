@@ -50,7 +50,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 256          # output rows per job
-WINDOW = 512        # source rows DMA'd per job
+WINDOW = 512        # default source rows DMA'd per job
+
+
+def window_for_map(name: str) -> int:
+    """Per-map window width (multiple of 128 for the one-hot lane dim and
+    of 8 for DMA alignment). The one-hot gather's MXU cost scales with W, so
+    smaller is faster — but the window must still cover typical source
+    spreads with ~1 job per (tile, group). Measured on PartNet-like batches:
+    same/up maps fit 384 at ~0.9-1.05x the one-window ideal; down maps (an
+    output tile's sources span 2x-wider input ranges) need 512."""
+    return 512 if name.startswith("down") else 384
 META_ROWS = 5       # tiles | groups | starts | flags | (reserved)
 
 F_FIRST = 1         # flags bit: first job of its output tile (init acc)

@@ -81,12 +81,17 @@ class SparseConv(nn.Module):
         win_starts_t = batch.kmaps.get("win!" + t_name)
         ksize = int(self.map_name.rsplit("k", 1)[1])
         win_group = ksize * ksize  # one window per dx-slab of a cubic kernel
+        from csn_tpu.core.window_conv import window_for_map
+
+        win_window = window_for_map(self.map_name)
+        win_window_t = window_for_map(t_name)
         b, l_in, cin = x.shape
         k = kmap.shape[0]
         w = self.param("kernel", _conv_kernel_init, (k, cin, self.features))
         out = sparse_conv(x.reshape(b * l_in, cin), kmap, w, kmap_t=kmap_t,
                           mirror=mirror, win_starts=win_starts,
-                          win_starts_t=win_starts_t, win_group=win_group)
+                          win_starts_t=win_starts_t, win_group=win_group,
+                          win_window=win_window, win_window_t=win_window_t)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             out = out + bias[None, :]
