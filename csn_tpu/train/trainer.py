@@ -217,10 +217,24 @@ class BaseTrainer:
         self.opt_state = self.optimizer.init(self.params)
         # `--weights` pretrained load (`lib/config.py:47`): restore params +
         # batch stats from a checkpoint file, keep the fresh optimizer state.
+        # A `.pth` path loads a reference torch checkpoint through the
+        # converter (models/convert.py) — released-model eval parity path.
         if getattr(self.config, "weights", "None") not in (None, "", "None"):
-            tree, _ = load_checkpoint(self.config.weights, self._tree_state())
-            self.params = tree["params"]
-            self.batch_stats = tree["batch_stats"]
+            if self.config.weights.endswith(".pth"):
+                from csn_tpu.models.convert import load_mink_torch_checkpoint
+                from csn_tpu.models.hrnet import HRNetSimCSN
+
+                self.params, self.batch_stats = load_mink_torch_checkpoint(
+                    self.config.weights,
+                    num_stages=self.model.NUM_STAGES,
+                    num_blocks=self.model.NUM_BLOCKS,
+                    csn_head=isinstance(self.model, HRNetSimCSN),
+                    k_neighbors=self.config.k_neighbors)
+            else:
+                tree, _ = load_checkpoint(self.config.weights,
+                                          self._tree_state())
+                self.params = tree["params"]
+                self.batch_stats = tree["batch_stats"]
             logging.info("===> Loaded weights from %s", self.config.weights)
         n_params = sum(int(np.prod(p.shape))
                        for p in jax.tree_util.tree_leaves(self.params))
