@@ -54,6 +54,14 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_float)]
     lib.csn_shape_destroy.argtypes = [ctypes.c_void_p]
+    try:
+        lib.csn_window_jobs.restype = ctypes.c_int64
+        lib.csn_window_jobs.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)]
+    except AttributeError:  # stale .so without the symbol
+        pass
     _LIB = lib
     return _LIB
 
@@ -115,3 +123,23 @@ class NativeShape:
             self.lib.csn_shape_destroy(self.handle)
         except Exception:
             pass
+
+
+def window_jobs_native(kmap: np.ndarray, n_in: int, tile: int, window: int,
+                       group: int, cap: int):
+    """C++ window-job worklist (csrc csn_window_jobs). Returns the int32
+    [5, cap] meta array, -1 on capacity overflow, or None when the native
+    engine is unavailable (callers fall back to the numpy builder)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "csn_window_jobs"):
+        return None
+    kmap = np.ascontiguousarray(kmap, dtype=np.int32)
+    meta = np.zeros((5, cap), dtype=np.int32)
+    k, n_out = kmap.shape
+    n = lib.csn_window_jobs(
+        kmap.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        k, n_out, n_in, tile, window, group, cap,
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if n < 0:
+        return -1
+    return meta

@@ -90,6 +90,20 @@ def window_jobs(kmap: np.ndarray, n_in: int, tile: int = TILE,
     K, n_out = kmap.shape
     if K % group != 0:
         raise WindowOverflow(f"K={K} not divisible by group={group}")
+    n_tiles0 = -(-n_out // tile)
+    cap0 = int(np.ceil(cap_mult * n_tiles0 * (K // group) / 64.0) * 64) + 64
+    try:  # C++ fast path (bit-identical to the numpy builder below)
+        from csn_tpu.core import native
+
+        m = native.window_jobs_native(kmap, n_in, tile, window, group, cap0)
+    except Exception:
+        m = None
+    if m is not None:
+        if isinstance(m, int):
+            raise WindowOverflow(
+                f"window jobs > capacity {cap0} ({n_tiles0} tiles, "
+                f"window={window})")
+        return m
     pad = (-n_out) % tile
     if pad:  # pad with sentinels (the wrappers pad the device kmap the same)
         kmap = np.concatenate(

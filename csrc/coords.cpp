@@ -208,4 +208,95 @@ void csn_shape_interp(void* h, int32_t* idx_out, float* w_out) {
 
 void csn_shape_destroy(void* h) { delete (Shape*)h; }
 
+// Window-job worklist for the Pallas windowed conv (core/window_conv.py):
+// greedy per-(tile, offset-group) segmentation of the source index range
+// into disjoint, sublane-aligned windows. Bit-identical to the numpy
+// reference implementation (tested); this runs in the per-batch host hot
+// path. meta layout: int32 [5, cap] rows = tiles|groups|starts|flags|0;
+// flags bit0 first-of-tile, bit1 last-of-tile, bit2 active.
+// Returns the number of real jobs, or -1 on capacity overflow.
+int64_t csn_window_jobs(const int32_t* kmap, int64_t K, int64_t n_out,
+                        int64_t n_in, int32_t tile, int32_t window,
+                        int32_t group, int64_t cap, int32_t* meta) {
+  const int64_t n_tiles = (n_out + tile - 1) / tile;
+  const int64_t ng = K / group;
+  if (K % group != 0 || window % 8 != 0) return -1;
+
+  std::vector<int32_t> jt, jg, js;
+  jt.reserve(cap); jg.reserve(cap); js.reserve(cap);
+  std::vector<int32_t> srcs;
+  std::vector<uint8_t> over(ng);
+
+  for (int64_t ti = 0; ti < n_tiles; ++ti) {
+    const size_t tile_begin = jt.size();
+    // pass 1: single-window groups (start = min valid src aligned down to 8)
+    for (int64_t g = 0; g < ng; ++g) {
+      int64_t lo = INT64_MAX, hi = -1;
+      for (int64_t m = 0; m < group; ++m) {
+        const int32_t* row = kmap + (g * group + m) * n_out;
+        const int64_t c0 = ti * tile;
+        const int64_t c1 = std::min(c0 + tile, n_out);  // padding = sentinel
+        for (int64_t c = c0; c < c1; ++c) {
+          const int64_t v = row[c];
+          if (v < n_in) { lo = std::min(lo, v); hi = std::max(hi, v); }
+        }
+      }
+      over[g] = 0;
+      if (hi < 0) continue;            // no valid rows in this group
+      const int64_t lo8 = (lo >> 3) << 3;
+      if (hi - lo8 < window) {
+        jt.push_back((int32_t)ti); jg.push_back((int32_t)g);
+        js.push_back((int32_t)lo8);
+      } else {
+        over[g] = 1;
+      }
+    }
+    // pass 2: greedy multi-window groups (starts aligned AND disjoint)
+    for (int64_t g = 0; g < ng; ++g) {
+      if (!over[g]) continue;
+      srcs.clear();
+      for (int64_t m = 0; m < group; ++m) {
+        const int32_t* row = kmap + (g * group + m) * n_out;
+        const int64_t c0 = ti * tile;
+        const int64_t c1 = std::min(c0 + tile, n_out);
+        for (int64_t c = c0; c < c1; ++c)
+          if (row[c] < n_in) srcs.push_back(row[c]);
+      }
+      std::sort(srcs.begin(), srcs.end());
+      int64_t start = ((int64_t)srcs[0] >> 3) << 3;
+      jt.push_back((int32_t)ti); jg.push_back((int32_t)g);
+      js.push_back((int32_t)start);
+      for (int32_t v : srcs) {
+        if (v >= start + window) {
+          start = std::max((int64_t)((v >> 3) << 3), start + window);
+          jt.push_back((int32_t)ti); jg.push_back((int32_t)g);
+          js.push_back((int32_t)start);
+        }
+      }
+    }
+    // every tile needs >= 1 job (zero-init + write): dummy gathers nothing
+    if (jt.size() == tile_begin) {
+      jt.push_back((int32_t)ti); jg.push_back(0); js.push_back((int32_t)n_in);
+    }
+    if ((int64_t)jt.size() > cap) return -1;
+  }
+
+  const int64_t n_jobs = (int64_t)jt.size();
+  std::memset(meta, 0, sizeof(int32_t) * 5 * cap);
+  for (int64_t j = 0; j < n_jobs; ++j) {
+    meta[0 * cap + j] = jt[j];
+    meta[1 * cap + j] = jg[j];
+    meta[2 * cap + j] = js[j];
+    int32_t f = 4;  // F_ACTIVE
+    if (j == 0 || jt[j] != jt[j - 1]) f |= 1;           // F_FIRST
+    if (j == n_jobs - 1 || jt[j] != jt[j + 1]) f |= 2;  // F_LAST
+    meta[3 * cap + j] = f;
+  }
+  for (int64_t j = n_jobs; j < cap; ++j) {  // inactive padding jobs
+    meta[0 * cap + j] = n_jobs ? jt[n_jobs - 1] : 0;
+    meta[2 * cap + j] = (int32_t)n_in;
+  }
+  return n_jobs;
+}
+
 }  // extern "C"

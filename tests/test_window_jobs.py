@@ -107,3 +107,45 @@ def test_window_jobs_split_windows_cover_wide_spreads():
             hits = ((rows[:, None] >= wins[None, :])
                     & (rows[:, None] < wins[None, :] + WINDOW)).sum(axis=1)
             assert (hits == 1).all(), (t, g)
+
+
+def test_native_window_jobs_matches_numpy():
+    """The C++ worklist builder (csrc csn_window_jobs) is bit-identical to
+    the numpy reference on both realistic and adversarial geometry."""
+    from csn_tpu.core import native
+    from csn_tpu.core import window_conv as W
+
+    if native.window_jobs_native(np.zeros((9, 256), np.int32), 10,
+                                 W.TILE, 512, 9, 128) is None:
+        import pytest
+
+        pytest.skip("native engine not built")
+
+    def numpy_jobs(kmap, n_in, window, group, cap_mult=1.5):
+        # force the numpy path by monkeypatching the native call away
+        orig = native.window_jobs_native
+        native.window_jobs_native = lambda *a, **k: None
+        try:
+            return window_jobs(kmap, n_in, window=window, group=group,
+                               cap_mult=cap_mult)
+        finally:
+            native.window_jobs_native = orig
+
+    kmap, n_in = _mixed_geometry_kmap()
+    for wdw, grp in ((512, 9), (384, 9), (384, 3)):
+        a = window_jobs(kmap, n_in, window=wdw, group=grp)
+        b = numpy_jobs(kmap, n_in, wdw, grp)
+        np.testing.assert_array_equal(a, b, err_msg=f"w={wdw} g={grp}")
+
+    # adversarial wide-spread kmap (multi-window greedy path)
+    rng = np.random.default_rng(1)
+    n_in2, n_out, K = 8192, 512, 27
+    km = np.empty((K, n_out), np.int32)
+    for k in range(K):
+        lowhigh = rng.integers(0, 2, size=n_out).astype(bool)
+        km[k] = np.where(lowhigh, rng.integers(n_in2 - 600, n_in2, n_out),
+                         rng.integers(0, 600, n_out))
+    km[0, ::17] = n_in2
+    a = window_jobs(km, n_in2, group=9, cap_mult=2.0)
+    b = numpy_jobs(km, n_in2, WINDOW, 9, cap_mult=2.0)
+    np.testing.assert_array_equal(a, b)
