@@ -106,12 +106,14 @@ def default_level_caps(num_points: int, num_levels: int,
                        shrink: float = 3.0, floor: int = 64) -> Tuple[int, ...]:
     """Heuristic per-level voxel capacities: each stride-2 level of a 3D sparse
     shape typically shrinks the voxel count by ~4-8x; we budget conservatively
-    with `shrink` (default 3x) and round up to a multiple of 8 (TPU sublanes)."""
+    with `shrink` (default 3x) and round up to a multiple of 32 (TPU sublanes;
+    32 also keeps batch-of->=8 tile grids aligned to the windowed-conv TILE
+    so window worklists stay concatenable across batches)."""
     caps = []
     cap = float(num_points)
     for _ in range(num_levels):
         c = max(int(np.ceil(cap)), floor)
-        caps.append(int(-(-c // 8) * 8))
+        caps.append(int(-(-c // 32) * 32))
         cap = cap / shrink
     return tuple(caps)
 
@@ -250,10 +252,25 @@ def concat_jax_batches(batches: Sequence["JaxVoxelBatch"]) -> "JaxVoxelBatch":
     kmaps = {}
     for name in b0.kmaps:
         if name.startswith("win!"):
-            src_l = _map_levels(name[4:])[0]
-            kmaps[name] = jnp.concatenate(
-                [b.kmaps[name] + int(cum[g]) * caps[src_l]
-                 for g, b in enumerate(batches)], axis=0)
+            # Window-job metas [5, cap] = tiles|groups|starts|flags|0: tiles
+            # shift by each batch's OUTPUT-tile offset, starts by its source
+            # -row offset; groups/flags are batch-local. Valid only when
+            # every batch's output rows are TILE-aligned (each meta was
+            # built over its own padded tile grid); otherwise the combined
+            # pass falls back to the gather path for this map.
+            from csn_tpu.core.window_conv import TILE
+
+            src_l, dst_l = _map_levels(name[4:])
+            if any((b_ * caps[dst_l]) % TILE for b_ in bs):
+                continue
+            parts = []
+            for g, b in enumerate(batches):
+                m = b.kmaps[name]
+                t_off = int(cum[g]) * caps[dst_l] // TILE
+                s_off = int(cum[g]) * caps[src_l]
+                parts.append(jnp.stack([m[0] + t_off, m[1], m[2] + s_off,
+                                        m[3], m[4]]))
+            kmaps[name] = jnp.concatenate(parts, axis=1)
         else:
             src_l = _map_levels(name)[0]
             kmaps[name] = remap_cat([b.kmaps[name] for b in batches], src_l,

@@ -206,3 +206,60 @@ def test_window_conv_k5_stem_and_strided_on_tpu():
         < 0.02 * max(np.abs(np.asarray(gx_r)).max(), 1e-3)
     assert np.abs(np.asarray(gw_w) - np.asarray(gw_r)).max() \
         < 0.02 * np.abs(np.asarray(gw_r)).max()
+
+
+def test_combined_csa_windows_match_gather_on_tpu():
+    """The combined (K+1)B CSA backbone pass with windowed convs must match
+    the gather path. Exercises the win!-meta concatenation in
+    concat_jax_batches (per-batch tile/start offsets) — regression for a bug
+    where only the query batch's window jobs survived concatenation and the
+    key batch's conv outputs were never written."""
+    from csn_tpu.core.pyramid import QMode
+    from csn_tpu.data.pipeline import collate_shapes, pyramid_spec_for_model
+    from csn_tpu.models import load_model
+
+    rng = np.random.default_rng(3)
+
+    def mixed(n=2000):
+        k = n // 2
+        v = rng.normal(size=(k, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        a = rng.uniform(-1, 1, size=(n - k, 2))
+        plane = np.concatenate([a, np.full((n - k, 1), 0.3)], axis=1)
+        pts = np.concatenate([v * 0.8, plane]).astype(np.float32)
+        labels = (pts[:, 0] > 0).astype(np.int32) + 1
+        return pts, pts.copy(), labels
+
+    cls = load_model("HRNetSimCSN2S")
+    B = 2
+    shapes_q = [mixed() for _ in range(B)]
+    shapes_k = [mixed() for _ in range(B)]
+    batches = {}
+    for win in (False, True):
+        # level0_cap 1280: B*L % 256 == 0 at every level so the per-batch
+        # window grids stay concatenable
+        spec = pyramid_spec_for_model(
+            cls, num_points=2000, voxel_size=0.05, conv1_kernel_size=3,
+            level0_cap=1280, shrink=2.0, qmode=QMode.UNWEIGHTED_AVERAGE,
+            use_windows=win)
+        assert all((B * c) % 256 == 0 for c in spec.level_caps), \
+            spec.level_caps
+        qb = collate_shapes(shapes_q, spec).to_jax()
+        kb = collate_shapes(shapes_k, spec).to_jax()
+        if win:
+            assert any(k.startswith("win!") for k in qb.kmaps)
+        batches[win] = (qb, kb)
+
+    model = cls(out_channels=5, conv1_kernel_size=3, d_model=32, n_head=2,
+                k_neighbors=1, use_flash=False)
+    qb0, kb0 = batches[False]
+    variables = jax.jit(lambda r, b, k: model.init(r, b, k, train=False))(
+        jax.random.PRNGKey(0), qb0, (kb0,))
+    outs = {}
+    for win, (qb, kb) in batches.items():
+        outs[win] = np.asarray(jax.jit(
+            lambda v, b, k: model.apply(v, b, k, train=False))(
+            variables, qb, (kb,)))
+    scale = np.abs(outs[False]).max()
+    assert np.abs(outs[True] - outs[False]).max() < 0.02 * scale, \
+        np.abs(outs[True] - outs[False]).max()
