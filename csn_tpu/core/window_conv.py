@@ -117,9 +117,10 @@ def window_jobs(kmap: np.ndarray, n_in: int, tile: int = TILE,
     valid = t < n_in
     big = np.where(valid, t, np.iinfo(np.int32).max)
     small = np.where(valid, t, -1)
-    # Window starts are aligned DOWN to sublane multiples (8): Mosaic must
-    # prove the dynamic HBM slice start divisible by the (8, 128) tiling.
-    lo = (big.min(axis=(1, 3)) >> 3) << 3     # [ng, n_tiles]
+    # Window starts are aligned DOWN to bf16-sublane multiples (16): the
+    # kernels DMA bf16 windows, whose (16, 128) tiling Mosaic must prove the
+    # dynamic slice start divisible by.
+    lo = (big.min(axis=(1, 3)) >> 4) << 4     # [ng, n_tiles]
     hi = small.max(axis=(1, 3))
     any_v = valid.any(axis=(1, 3))
     fits = any_v & (hi - lo < window)
@@ -135,14 +136,14 @@ def window_jobs(kmap: np.ndarray, n_in: int, tile: int = TILE,
     # Starts stay 8-aligned AND windows stay disjoint (window itself is a
     # multiple of 8, and each next start is clamped to the previous window's
     # end) so no source row ever matches two windows (no double counting).
-    assert window % 8 == 0
+    assert window % 16 == 0
     for g, ti_ in zip(*np.nonzero(over)):
         srcs = np.unique(t[g, :, ti_][valid[g, :, ti_]])
-        start = (int(srcs[0]) >> 3) << 3
+        start = (int(srcs[0]) >> 4) << 4
         starts = [start]
         for s in srcs:
             if s >= start + window:
-                start = max((int(s) >> 3) << 3, start + window)
+                start = max((int(s) >> 4) << 4, start + window)
                 starts.append(start)
         jobs_t.append(np.full(len(starts), ti_, np.int64))
         jobs_g.append(np.full(len(starts), g, np.int64))
@@ -226,9 +227,9 @@ def _wjobs_fwd_kernel(meta_ref, kmap_ref, feats_hbm, w_ref, out_ref,
     j = pl.program_id(0)
 
     def dma(slot, jj):
-        # window_jobs aligns starts to sublane multiples; Mosaic needs the
-        # hint to prove the dynamic HBM slice is tile-aligned
-        start = pl.multiple_of(meta_ref[2 * cap + jj], 8)
+        # window_jobs aligns starts to bf16-sublane multiples; Mosaic needs
+        # the hint to prove the dynamic HBM slice is tile-aligned
+        start = pl.multiple_of(meta_ref[2 * cap + jj], 16)
         return pltpu.make_async_copy(
             feats_hbm.at[pl.ds(start, window), :],
             win_scratch.at[slot], sem.at[slot])
@@ -285,7 +286,7 @@ def _wjobs_bwd_kernel(meta_ref, kmap_ref, f_tile_ref, g_hbm, wt_ref,
     def dma(slot, jj):
         # window_jobs aligns starts to sublane multiples; Mosaic needs the
         # hint to prove the dynamic HBM slice is tile-aligned
-        start = pl.multiple_of(meta_ref[2 * cap + jj], 8)
+        start = pl.multiple_of(meta_ref[2 * cap + jj], 16)
         return pltpu.make_async_copy(
             g_hbm.at[pl.ds(start, window), :],
             win_scratch.at[slot], sem.at[slot])
@@ -341,10 +342,13 @@ def _wjobs_bwd_kernel(meta_ref, kmap_ref, f_tile_ref, g_hbm, wt_ref,
 def _pad_feats(feats, window):
     """Pad channels to a lane multiple and rows by `window` so any window
     start <= n_in stays in bounds (padding rows are zeros -> sentinel hits
-    contribute nothing)."""
+    contribute nothing). Cast to bf16 ONCE here: the in-kernel matmuls
+    consume bf16 operands anyway, so DMA'ing bf16 windows halves the bytes
+    and drops the per-job cast with identical numerics."""
     n_in, cin = feats.shape
     cpad = (-cin) % 128
-    return jnp.pad(feats, ((0, window), (0, cpad))), cin + cpad
+    return (jnp.pad(feats, ((0, window), (0, cpad))).astype(jnp.bfloat16),
+            cin + cpad)
 
 
 def _pad_kmap(kmap, n_in, tile=TILE):
@@ -379,7 +383,7 @@ def window_conv_fwd(feats, kmap, meta, weights, *, group: int,
         ],
         out_specs=pl.BlockSpec((TILE, cout), lambda j, m: (m[j], 0)),
         scratch_shapes=[
-            pltpu.VMEM((nbuf, window, cin_p), feats.dtype),
+            pltpu.VMEM((nbuf, window, cin_p), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )
@@ -405,7 +409,7 @@ def window_conv_bwd(feats, g, kmap_t, meta, weights_pair, *, group: int,
     assert n_out_f == n_out  # d_feats rows == transpose-map outputs
     n_src = g.shape[0]       # gather SOURCE rows (differs from n_out for
     cout = g.shape[-1]       # strided down/up pairs)
-    g_p, cout_p = _pad_feats(g.astype(jnp.float32), window)
+    g_p, cout_p = _pad_feats(g, window)
     kmap_p, opad = _pad_kmap(kmap_t, n_src)
     # pad tiny channel counts (the 3-channel stem input) to a sublane
     # multiple so f_tile blocks / dW tiles stay layout-friendly
@@ -433,7 +437,7 @@ def window_conv_bwd(feats, g, kmap_t, meta, weights_pair, *, group: int,
             pl.BlockSpec((K, cin, cout_p), lambda j, m: (0, 0, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((nbuf, window, cout_p), jnp.float32),
+            pltpu.VMEM((nbuf, window, cout_p), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )

@@ -220,7 +220,7 @@ int64_t csn_window_jobs(const int32_t* kmap, int64_t K, int64_t n_out,
                         int32_t group, int64_t cap, int32_t* meta) {
   const int64_t n_tiles = (n_out + tile - 1) / tile;
   const int64_t ng = K / group;
-  if (K % group != 0 || window % 8 != 0) return -1;
+  if (K % group != 0 || window % 16 != 0) return -1;
 
   std::vector<int32_t> jt, jg, js;
   jt.reserve(cap); jg.reserve(cap); js.reserve(cap);
@@ -243,10 +243,10 @@ int64_t csn_window_jobs(const int32_t* kmap, int64_t K, int64_t n_out,
       }
       over[g] = 0;
       if (hi < 0) continue;            // no valid rows in this group
-      const int64_t lo8 = (lo >> 3) << 3;
-      if (hi - lo8 < window) {
+      const int64_t lo16 = (lo >> 4) << 4;
+      if (hi - lo16 < window) {
         jt.push_back((int32_t)ti); jg.push_back((int32_t)g);
-        js.push_back((int32_t)lo8);
+        js.push_back((int32_t)lo16);
       } else {
         over[g] = 1;
       }
@@ -263,12 +263,12 @@ int64_t csn_window_jobs(const int32_t* kmap, int64_t K, int64_t n_out,
           if (row[c] < n_in) srcs.push_back(row[c]);
       }
       std::sort(srcs.begin(), srcs.end());
-      int64_t start = ((int64_t)srcs[0] >> 3) << 3;
+      int64_t start = ((int64_t)srcs[0] >> 4) << 4;
       jt.push_back((int32_t)ti); jg.push_back((int32_t)g);
       js.push_back((int32_t)start);
       for (int32_t v : srcs) {
         if (v >= start + window) {
-          start = std::max((int64_t)((v >> 3) << 3), start + window);
+          start = std::max((int64_t)((v >> 4) << 4), start + window);
           jt.push_back((int32_t)ti); jg.push_back((int32_t)g);
           js.push_back((int32_t)start);
         }
