@@ -294,7 +294,7 @@ class HRNetSimCSN(HRNetBase):
         return relu_masked(out, batch.masks[0])
 
     def _ssa(self, feats, mask, train: bool) -> jnp.ndarray:
-        y = self.mha(feats, feats, feats, mask, train=train)
+        y = self.mha(feats, feats, feats, mask, mask, train=train)
         return jnp.where(mask[..., None], y, 0.0)
 
     def __call__(self, batch, keys: Sequence = (), train: bool = False,
@@ -343,7 +343,9 @@ class HRNetSimCSN(HRNetBase):
         k_mask = bmask[B:]
         q_rep = jnp.broadcast_to(
             q_out[None], (K,) + q_out.shape).reshape(K * B, L0, self.d_model)
-        cross = self.mha(q_rep, k_out, k_out, k_mask, train=train)
+        q_rep_mask = jnp.broadcast_to(
+            qmask[None], (K,) + qmask.shape).reshape(K * B, L0)
+        cross = self.mha(q_rep, k_out, k_out, k_mask, q_rep_mask, train=train)
         cross = cross.reshape(K, B, L0, self.d_model)
         cross = jnp.where(qmask[None, ..., None], cross, 0.0)
         csa = comp[:, 0, None, None] * q_ssa + jnp.einsum(

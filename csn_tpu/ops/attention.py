@@ -131,7 +131,9 @@ class MultiHeadAttention(nn.Module):
 
     Call with q/k/v of shape [B, L, d_model]. `kv_mask` masks padded keys;
     padded query rows produce junk and must be masked by the caller (the
-    reference never sees padding because it loops per shape).
+    reference never sees padding because it loops per shape). `q_mask` marks
+    valid query rows: optional, purely a performance hint — the flash kernel
+    skips fully padded (q-block, kv-block) pairs.
 
     `use_flash=True` routes the softmax-attention core through the Pallas
     flash kernel on TPU (ops/flash.py); otherwise the XLA einsum path is used.
@@ -156,6 +158,7 @@ class MultiHeadAttention(nn.Module):
         k: jnp.ndarray,
         v: jnp.ndarray,
         kv_mask: Optional[jnp.ndarray] = None,
+        q_mask: Optional[jnp.ndarray] = None,
         *,
         train: bool = False,
     ) -> jnp.ndarray:
@@ -186,11 +189,12 @@ class MultiHeadAttention(nn.Module):
 
             if attn_rng is not None:
                 seed = jax.random.randint(attn_rng, (1,), 0, 2 ** 31 - 1)
-                out = flash_attention(qh, kh, vh, kv_mask, seed,
+                out = flash_attention(qh, kh, vh, kv_mask, q_mask, seed,
                                       temperature=temp,
                                       dropout=self.dropout)
             else:
-                out = flash_attention(qh, kh, vh, kv_mask, temperature=temp)
+                out = flash_attention(qh, kh, vh, kv_mask, q_mask,
+                                      temperature=temp)
         elif impl == "online":
             out = online_attention(
                 qh, kh, vh, kv_mask, temperature=temp,

@@ -7,11 +7,12 @@ both matmuls on the MXU (bf16 operands, f32 accumulation).
 * Forward: grid (batch*heads, q-blocks, kv-blocks), kv innermost; running
   max / denominator / output accumulator in VMEM scratch (TPU grids execute
   sequentially per core). Also emits the log-sum-exp rows for backward.
-* Backward: two kernels (the flash-attention split):
-    - dK/dV: grid (batch*heads, kv-blocks, q-blocks), q innermost,
-      accumulating per-kv-block dK/dV in VMEM;
-    - dQ:    grid (batch*heads, q-blocks, kv-blocks), kv innermost.
-  Both recompute the score block from q/k and the saved lse.
+* Backward: ONE fused kernel, grid (batch*heads, kv-blocks, q-blocks),
+  recomputing the score block from q/k and the saved lse. dK/dV accumulate
+  per-kv-block in VMEM scratch; dQ accumulates into a VMEM-resident
+  [Lq, D] output plane (block index constant per batch*head) — unlike the
+  classic two-kernel flash split there is no second pass recomputing
+  s/p/dp for dQ, just one extra ds @ k matmul per block visit.
 * Dropout (attention-weight dropout, torch semantics dropout(softmax(s))@v)
   runs inside the kernels with the TPU PRNG; the seed is a pure function of
   (batch*head, q-block, kv-block), so forward and backward reproduce the
@@ -52,9 +53,9 @@ def _drop_mask(seed_ref, bh, qi, ki, shape, keep: float):
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, out_ref, lse_ref,
-                m_scratch, l_scratch, acc_scratch, *, temperature: float,
-                num_k_blocks: int, dropout: float):
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, qmask_ref, out_ref,
+                lse_ref, m_scratch, l_scratch, acc_scratch, *,
+                temperature: float, num_k_blocks: int, dropout: float):
     bh = pl.program_id(0)
     qi = pl.program_id(1)
     ki = pl.program_id(2)
@@ -65,43 +66,52 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, out_ref, lse_ref,
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
-    # bf16 operands + explicit DEFAULT precision (a global f32 matmul
-    # precision would force fp32 contract precision onto bf16 operands,
-    # which Mosaic rejects).
-    q = (q_ref[0].astype(jnp.float32) * (1.0 / temperature)).astype(
-        jnp.bfloat16)
-    k = k_ref[0].astype(jnp.bfloat16)
-    v = v_ref[0].astype(jnp.bfloat16)
     msk = mask_ref[0, 0]
+    # Block skipping: shapes occupy ~50-80% of the padded cap, so a large
+    # fraction of (q-block, kv-block) pairs is pure padding. A fully masked
+    # kv block contributes nothing (its probs renormalize away); a fully
+    # masked q block's rows are zeroed by the caller. Skipping both cuts MXU
+    # *and* (dominant) VPU softmax work; backward skips the same pairs.
+    live = jnp.logical_and(jnp.any(msk != 0), jnp.any(qmask_ref[0, 0] != 0))
 
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.DEFAULT,
-        preferred_element_type=jnp.float32)
-    s = jnp.where(msk[None, :] != 0, s, NEG_INF)
+    @pl.when(live)
+    def _compute():
+        # bf16 operands + explicit DEFAULT precision (a global f32 matmul
+        # precision would force fp32 contract precision onto bf16 operands,
+        # which Mosaic rejects).
+        q = (q_ref[0].astype(jnp.float32) * (1.0 / temperature)).astype(
+            jnp.bfloat16)
+        k = k_ref[0].astype(jnp.bfloat16)
+        v = v_ref[0].astype(jnp.bfloat16)
 
-    m_prev = m_scratch[:, :1]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    scale = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
-    l_new = l_scratch[:, :1] * scale + jnp.sum(p, axis=1, keepdims=True)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)
+        s = jnp.where(msk[None, :] != 0, s, NEG_INF)
 
-    if dropout > 0.0:
-        keep = 1.0 - dropout
-        dm = _drop_mask(seed_ref, bh, qi, ki, p.shape, keep)
-        p_num = jnp.where(dm, p * (1.0 / keep), 0.0)
-    else:
-        p_num = p
+        m_prev = m_scratch[:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        scale = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_scratch[:, :1] * scale + jnp.sum(p, axis=1, keepdims=True)
 
-    acc_scratch[...] = acc_scratch[...] * scale + jax.lax.dot_general(
-        p_num.astype(jnp.bfloat16), v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.DEFAULT,
-        preferred_element_type=jnp.float32)
+        if dropout > 0.0:
+            keep = 1.0 - dropout
+            dm = _drop_mask(seed_ref, bh, qi, ki, p.shape, keep)
+            p_num = jnp.where(dm, p * (1.0 / keep), 0.0)
+        else:
+            p_num = p
 
-    m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
-    l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
+        acc_scratch[...] = acc_scratch[...] * scale + jax.lax.dot_general(
+            p_num.astype(jnp.bfloat16), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)
+
+        m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
+        l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
 
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():
@@ -109,6 +119,16 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, out_ref, lse_ref,
         out_ref[0] = (acc_scratch[...] / denom).astype(out_ref.dtype)
         lse_ref[0, 0] = (m_scratch[:, 0]
                          + jnp.log(jnp.maximum(l_scratch[:, 0], 1e-30)))
+
+
+def weakest_vmem_budget(lqp, dk_dim, dv, block_q, block_k):
+    """Scoped-VMEM request for the fused backward: all live buffers with 2x
+    pipelining headroom, floored at the 16 MB default."""
+    blocks = (block_q * (dk_dim + dv)            # q, do
+              + block_k * (dk_dim + dv) * 2      # k, v + dk, dv out
+              + 4 * block_q + 2 * block_k        # lse, delta, masks
+              + lqp * dk_dim)                    # resident dq plane
+    return max(16 * 1024 * 1024, 4 * blocks * 4 + (1 << 20))
 
 
 def _pad_to(x, axis, block):
@@ -120,7 +140,7 @@ def _pad_to(x, axis, block):
     return jnp.pad(x, widths), pad
 
 
-def _prep(q, k, v, kv_mask, block_q, block_k):
+def _prep(q, k, v, kv_mask, q_mask, block_q, block_k):
     b, h, lq, dk = q.shape
     lk = k.shape[2]
     dv = v.shape[-1]
@@ -141,17 +161,24 @@ def _prep(q, k, v, kv_mask, block_q, block_k):
         m = kv_mask.astype(jnp.int32)
     mp, _ = _pad_to(m, 1, block_k)
     mp = mp[:, None, :]
+    if q_mask is None:
+        qm = jnp.ones((b, lq), dtype=jnp.int32)
+    else:
+        qm = q_mask.astype(jnp.int32)
+    qmp, _ = _pad_to(qm, 1, block_q)
+    qmp = qmp[:, None, :]
     lqp, lkp = lq + pad_q, lk + pad_k
     return (qp.reshape(b * h, lqp, dk), kp.reshape(b * h, lkp, dk),
-            vp.reshape(b * h, lkp, dv), mp, block_q, block_k, lqp, lkp)
+            vp.reshape(b * h, lkp, dv), mp, qmp, block_q, block_k, lqp, lkp)
 
 
-def _flash_forward(q, k, v, kv_mask, temperature: float, dropout: float = 0.0,
-                   seed=None, block_q: int = 512, block_k: int = 1024):
+def _flash_forward(q, k, v, kv_mask, q_mask, temperature: float,
+                   dropout: float = 0.0, seed=None,
+                   block_q: int = 512, block_k: int = 1024):
     b, h, lq, dk = q.shape
     dv = v.shape[-1]
-    qf, kf, vf, mp, block_q, block_k, lqp, lkp = _prep(
-        q, k, v, kv_mask, block_q, block_k)
+    qf, kf, vf, mp, qmp, block_q, block_k, lqp, lkp = _prep(
+        q, k, v, kv_mask, q_mask, block_q, block_k)
     nq, nk = lqp // block_q, lkp // block_k
 
     kernel = functools.partial(_fwd_kernel, temperature=temperature,
@@ -168,6 +195,8 @@ def _flash_forward(q, k, v, kv_mask, temperature: float, dropout: float = 0.0,
             pl.BlockSpec((1, block_k, dv), lambda bh, qi, ki: (bh, ki, 0)),
             pl.BlockSpec((1, 1, block_k),
                          lambda bh, qi, ki: (bh // h, 0, ki)),
+            pl.BlockSpec((1, 1, block_q),
+                         lambda bh, qi, ki: (bh // h, 0, qi)),
         ],
         out_specs=(
             pl.BlockSpec((1, block_q, dv), lambda bh, qi, ki: (bh, qi, 0)),
@@ -182,7 +211,7 @@ def _flash_forward(q, k, v, kv_mask, temperature: float, dropout: float = 0.0,
             pltpu.VMEM((block_q, LANES), jnp.float32),
             pltpu.VMEM((block_q, dv), jnp.float32),
         ],
-    )(seed_arr, qf, kf, vf, mp)
+    )(seed_arr, qf, kf, vf, mp, qmp)
     return (out.reshape(b, h, lqp, dv)[:, :, :lq, :],
             lse.reshape(b, h, lqp)[:, :, :lq])
 
@@ -191,9 +220,17 @@ def _flash_forward(q, k, v, kv_mask, temperature: float, dropout: float = 0.0,
 # backward
 # ---------------------------------------------------------------------------
 
-def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    mask_ref, dk_ref, dv_ref, dk_scratch, dv_scratch, *,
-                    temperature: float, num_q_blocks: int, dropout: float):
+def _bwd_fused_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                      delta_ref, mask_ref, qmask_ref, dk_ref, dv_ref, dq_ref,
+                      dk_scratch, dv_scratch, *, temperature: float,
+                      num_q_blocks: int, block_q: int, dropout: float):
+    """ONE backward pass emits dK, dV AND dQ.
+
+    Grid (bh, ki, qi). The classic flash split runs a second (bh, qi, ki)
+    kernel for dQ that recomputes s/p/dp from scratch; here dQ lives in a
+    VMEM-resident [lqp, D] output block (index constant within a bh) and
+    each (ki, qi) visit accumulates its ds @ k contribution — one extra
+    matmul instead of a whole second pass (~35% of backward time)."""
     bh = pl.program_id(0)
     ki = pl.program_id(1)
     qi = pl.program_id(2)
@@ -203,50 +240,68 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk_scratch[...] = jnp.zeros_like(dk_scratch)
         dv_scratch[...] = jnp.zeros_like(dv_scratch)
 
-    inv_t = 1.0 / temperature
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.bfloat16)
-    v = v_ref[0].astype(jnp.bfloat16)
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, 0]
-    delta = delta_ref[0, 0]
+        @pl.when(ki == 0)
+        def _init_dq():
+            dq_ref[...] = jnp.zeros_like(dq_ref)
+
     msk = mask_ref[0, 0]
+    # Fully masked kv block => p == 0 everywhere => dk = dv = 0 and no dq
+    # contribution (finalize still writes the zero scratch). Fully masked q
+    # block => do == 0 rows contribute nothing and dq rows are discarded
+    # upstream. Same pairs as skipped in forward.
+    live = jnp.logical_and(jnp.any(msk != 0), jnp.any(qmask_ref[0, 0] != 0))
 
-    s = jax.lax.dot_general(
-        (q * inv_t).astype(jnp.bfloat16), k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.DEFAULT,
-        preferred_element_type=jnp.float32)        # [BQ, BK]
-    s = jnp.where(msk[None, :] != 0, s, NEG_INF)
-    p = jnp.exp(s - lse[:, None])                  # true softmax probs
+    @pl.when(live)
+    def _compute():
+        inv_t = 1.0 / temperature
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.bfloat16)
+        v = v_ref[0].astype(jnp.bfloat16)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0, 0]
+        delta = delta_ref[0, 0]
 
-    dp = jax.lax.dot_general(
-        do.astype(jnp.bfloat16), v,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.DEFAULT,
-        preferred_element_type=jnp.float32)        # [BQ, BK]
+        s = jax.lax.dot_general(
+            (q * inv_t).astype(jnp.bfloat16), k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)        # [BQ, BK]
+        s = jnp.where(msk[None, :] != 0, s, NEG_INF)
+        p = jnp.exp(s - lse[:, None])                  # true softmax probs
 
-    if dropout > 0.0:
-        keep = 1.0 - dropout
-        dm = _drop_mask(seed_ref, bh, qi, ki, p.shape, keep)
-        dpd = jnp.where(dm, dp * (1.0 / keep), 0.0)
-        p_num = jnp.where(dm, p * (1.0 / keep), 0.0)
-    else:
-        dpd = dp
-        p_num = p
+        dp = jax.lax.dot_general(
+            do.astype(jnp.bfloat16), v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)        # [BQ, BK]
 
-    ds = p * (dpd - delta[:, None])                # [BQ, BK]
+        if dropout > 0.0:
+            keep = 1.0 - dropout
+            dm = _drop_mask(seed_ref, bh, qi, ki, p.shape, keep)
+            dpd = jnp.where(dm, dp * (1.0 / keep), 0.0)
+            p_num = jnp.where(dm, p * (1.0 / keep), 0.0)
+        else:
+            dpd = dp
+            p_num = p
 
-    dv_scratch[...] += jax.lax.dot_general(
-        p_num.astype(jnp.bfloat16), do.astype(jnp.bfloat16),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        precision=jax.lax.Precision.DEFAULT,
-        preferred_element_type=jnp.float32)        # [BK, D]
-    dk_scratch[...] += jax.lax.dot_general(
-        ds.astype(jnp.bfloat16), (q * inv_t).astype(jnp.bfloat16),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        precision=jax.lax.Precision.DEFAULT,
-        preferred_element_type=jnp.float32)        # [BK, D]
+        ds = p * (dpd - delta[:, None])                # [BQ, BK]
+        dsb = ds.astype(jnp.bfloat16)
+
+        dv_scratch[...] += jax.lax.dot_general(
+            p_num.astype(jnp.bfloat16), do.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)        # [BK, D]
+        dk_scratch[...] += jax.lax.dot_general(
+            dsb, (q * inv_t).astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)        # [BK, D]
+        dq_ref[0, pl.ds(qi * block_q, block_q), :] += jax.lax.dot_general(
+            dsb, k,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32) * inv_t  # [BQ, D]
 
     @pl.when(qi == num_q_blocks - 1)
     def _finalize():
@@ -254,67 +309,17 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_scratch[...].astype(dv_ref.dtype)
 
 
-def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                   mask_ref, dq_ref, dq_scratch, *, temperature: float,
-                   num_k_blocks: int, dropout: float):
-    bh = pl.program_id(0)
-    qi = pl.program_id(1)
-    ki = pl.program_id(2)
-
-    @pl.when(ki == 0)
-    def _init():
-        dq_scratch[...] = jnp.zeros_like(dq_scratch)
-
-    inv_t = 1.0 / temperature
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.bfloat16)
-    v = v_ref[0].astype(jnp.bfloat16)
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, 0]
-    delta = delta_ref[0, 0]
-    msk = mask_ref[0, 0]
-
-    s = jax.lax.dot_general(
-        (q * inv_t).astype(jnp.bfloat16), k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.DEFAULT,
-        preferred_element_type=jnp.float32)
-    s = jnp.where(msk[None, :] != 0, s, NEG_INF)
-    p = jnp.exp(s - lse[:, None])
-
-    dp = jax.lax.dot_general(
-        do.astype(jnp.bfloat16), v,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.DEFAULT,
-        preferred_element_type=jnp.float32)
-
-    if dropout > 0.0:
-        keep = 1.0 - dropout
-        dm = _drop_mask(seed_ref, bh, qi, ki, p.shape, keep)
-        dpd = jnp.where(dm, dp * (1.0 / keep), 0.0)
-    else:
-        dpd = dp
-
-    ds = p * (dpd - delta[:, None])
-    dq_scratch[...] += jax.lax.dot_general(
-        ds.astype(jnp.bfloat16), k,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.DEFAULT,
-        preferred_element_type=jnp.float32) * inv_t
-
-    @pl.when(ki == num_k_blocks - 1)
-    def _finalize():
-        dq_ref[0] = dq_scratch[...].astype(dq_ref.dtype)
-
-
-def _flash_backward(q, k, v, kv_mask, out, lse, g, temperature: float,
+def _flash_backward(q, k, v, kv_mask, q_mask, out, lse, g, temperature: float,
                     dropout: float = 0.0, seed=None,
-                    block_q: int = 512, block_k: int = 1024):
+                    block_q: int = 512, block_k: int = 768):
+    # block_k 768 (vs 1024 forward): the fused kernel's [block_q, block_k]
+    # f32 stack temporaries (s/p/dp/ds/dropout) plus the resident dq plane
+    # exceed the 16 MB scoped-vmem budget at 1024.
     b, h, lq, dk_dim = q.shape
     lk = k.shape[2]
     dv = v.shape[-1]
-    qf, kf, vf, mp, block_q, block_k, lqp, lkp = _prep(
-        q, k, v, kv_mask, block_q, block_k)
+    qf, kf, vf, mp, qmp, block_q, block_k, lqp, lkp = _prep(
+        q, k, v, kv_mask, q_mask, block_q, block_k)
     gf, _ = _pad_to(g, 2, block_q)
     gf = gf.reshape(b * h, lqp, dv)
     lse_p, _ = _pad_to(lse, 2, block_q)
@@ -328,10 +333,11 @@ def _flash_backward(q, k, v, kv_mask, out, lse, g, temperature: float,
     seed_arr = (jnp.zeros((1, 1), jnp.int32) if seed is None
                 else jnp.asarray(seed, jnp.int32).reshape(1, 1))
 
-    dkv_kernel = functools.partial(_bwd_dkv_kernel, temperature=temperature,
-                                   num_q_blocks=nq, dropout=dropout)
-    dk, dv_out = pl.pallas_call(
-        dkv_kernel,
+    kernel = functools.partial(_bwd_fused_kernel, temperature=temperature,
+                               num_q_blocks=nq, block_q=block_q,
+                               dropout=dropout)
+    dk, dv_out, dq = pl.pallas_call(
+        kernel,
         grid=(b * h, nk, nq),
         in_specs=[
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
@@ -343,42 +349,31 @@ def _flash_backward(q, k, v, kv_mask, out, lse, g, temperature: float,
             pl.BlockSpec((1, 1, block_q), lambda bh, ki, qi: (bh, 0, qi)),
             pl.BlockSpec((1, 1, block_k),
                          lambda bh, ki, qi: (bh // h, 0, ki)),
+            pl.BlockSpec((1, 1, block_q),
+                         lambda bh, ki, qi: (bh // h, 0, qi)),
         ],
         out_specs=(
             pl.BlockSpec((1, block_k, dk_dim), lambda bh, ki, qi: (bh, ki, 0)),
             pl.BlockSpec((1, block_k, dv), lambda bh, ki, qi: (bh, ki, 0)),
+            # dq: whole [lqp, D] plane per bh, VMEM-resident across the
+            # (ki, qi) sweep, accumulated in-place (~1.5 MB at L0=5632)
+            pl.BlockSpec((1, lqp, dk_dim), lambda bh, ki, qi: (bh, 0, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, lkp, dk_dim), jnp.float32),
             jax.ShapeDtypeStruct((b * h, lkp, dv), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, lqp, dk_dim), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_k, dk_dim), jnp.float32),
             pltpu.VMEM((block_k, dv), jnp.float32),
         ],
-    )(seed_arr, qf, kf, vf, gf, lse_f, delta_f, mp)
-
-    dq_kernel = functools.partial(_bwd_dq_kernel, temperature=temperature,
-                                  num_k_blocks=nk, dropout=dropout)
-    dq = pl.pallas_call(
-        dq_kernel,
-        grid=(b * h, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, block_q, dk_dim), lambda bh, qi, ki: (bh, qi, 0)),
-            pl.BlockSpec((1, block_k, dk_dim), lambda bh, qi, ki: (bh, ki, 0)),
-            pl.BlockSpec((1, block_k, dv), lambda bh, qi, ki: (bh, ki, 0)),
-            pl.BlockSpec((1, block_q, dv), lambda bh, qi, ki: (bh, qi, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda bh, qi, ki: (bh, 0, qi)),
-            pl.BlockSpec((1, 1, block_q), lambda bh, qi, ki: (bh, 0, qi)),
-            pl.BlockSpec((1, 1, block_k),
-                         lambda bh, qi, ki: (bh // h, 0, ki)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, dk_dim),
-                               lambda bh, qi, ki: (bh, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, lqp, dk_dim), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((block_q, dk_dim), jnp.float32)],
-    )(seed_arr, qf, kf, vf, gf, lse_f, delta_f, mp)
+        # the resident dq plane (+ double-buffered in/out blocks) slightly
+        # exceeds the default 16 MB scoped-vmem budget at L0-size lqp
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=weakest_vmem_budget(lqp, dk_dim, dv, block_q,
+                                                 block_k)),
+    )(seed_arr, qf, kf, vf, gf, lse_f, delta_f, mp, qmp)
 
     dq = dq.reshape(b, h, lqp, dk_dim)[:, :, :lq].astype(q.dtype)
     dk = dk.reshape(b, h, lkp, dk_dim)[:, :, :lk].astype(k.dtype)
@@ -390,28 +385,33 @@ def _flash_backward(q, k, v, kv_mask, out, lse, g, temperature: float,
 # public API
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def flash_attention(q, k, v, kv_mask=None, seed=None,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def flash_attention(q, k, v, kv_mask=None, q_mask=None, seed=None,
                     temperature: float = 1.0, dropout: float = 0.0):
     """[B, H, Lq, Dk] x [B, H, Lk, Dk] x [B, H, Lk, Dv] -> [B, H, Lq, Dv].
 
     Fully Pallas: flash forward + flash backward, deterministic in-kernel
     attention dropout (same mask in fwd/bwd). `seed` is a traced int32 scalar
-    (vary it per training step)."""
-    out, _ = _flash_forward(q, k, v, kv_mask, temperature, dropout, seed)
+    (vary it per training step). `q_mask` [B, Lq] marks valid query rows —
+    fully padded (q-block, kv-block) pairs are skipped entirely. Rows in a
+    skipped q block come out ZERO, other padded rows junk: callers must mask
+    query-side outputs either way (they already do)."""
+    out, _ = _flash_forward(q, k, v, kv_mask, q_mask, temperature, dropout,
+                            seed)
     return out
 
 
-def _fa_fwd(q, k, v, kv_mask, seed, temperature, dropout):
-    out, lse = _flash_forward(q, k, v, kv_mask, temperature, dropout, seed)
-    return out, (q, k, v, kv_mask, seed, out, lse)
+def _fa_fwd(q, k, v, kv_mask, q_mask, seed, temperature, dropout):
+    out, lse = _flash_forward(q, k, v, kv_mask, q_mask, temperature, dropout,
+                              seed)
+    return out, (q, k, v, kv_mask, q_mask, seed, out, lse)
 
 
 def _fa_bwd(temperature, dropout, res, g):
-    q, k, v, kv_mask, seed, out, lse = res
-    dq, dk, dv = _flash_backward(q, k, v, kv_mask, out, lse, g, temperature,
-                                 dropout, seed)
-    return dq, dk, dv, None, None
+    q, k, v, kv_mask, q_mask, seed, out, lse = res
+    dq, dk, dv = _flash_backward(q, k, v, kv_mask, q_mask, out, lse, g,
+                                 temperature, dropout, seed)
+    return dq, dk, dv, None, None, None
 
 
 flash_attention.defvjp(_fa_fwd, _fa_bwd)

@@ -21,7 +21,7 @@ def _flash_interpret(q, k, v, mask, temperature):
 
     pl.pallas_call = patched
     try:
-        out, _lse = F._flash_forward(q, k, v, mask, temperature,
+        out, _lse = F._flash_forward(q, k, v, mask, None, temperature,
                                      block_q=16, block_k=128)
         return out
     finally:

@@ -52,12 +52,42 @@ def test_flash_fwd_bwd_exact_on_tpu():
     assert np.abs(gf - gr).max() < 0.03 * np.abs(gr).max()
 
 
+def test_flash_qmask_block_skip_matches_reference():
+    """Ragged q/kv masks (whole blocks fully padded => skipped in-kernel):
+    outputs and all three grads must still match the dense reference on the
+    valid rows, with no NaNs anywhere."""
+    rng = np.random.default_rng(2)
+    B, H, Lq, Lk, D = 3, 2, 1536, 1600, 64
+    q = jnp.asarray(rng.normal(size=(B, H, Lq, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, Lk, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, Lk, D)).astype(np.float32))
+    kvm = jnp.asarray(np.arange(Lk)[None, :] < np.array([700, 1600, 150])[:, None])
+    qm = jnp.asarray(np.arange(Lq)[None, :] < np.array([600, 1536, 200])[:, None])
+
+    def loss(fn, q, k, v):
+        o = fn(q, k, v)
+        o = jnp.where(qm[:, None, :, None], o, 0.0)
+        return jnp.sum(jnp.sin(o))
+
+    gf = jax.grad(lambda *a: loss(
+        lambda q, k, v: flash_attention(q, k, v, kvm, qm, temperature=8.0),
+        *a), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda *a: loss(
+        lambda q, k, v: scaled_dot_product_attention(q, k, v, kvm,
+                                                     temperature=8.0),
+        *a), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all()
+        assert np.abs(a - b).max() < 0.01 * max(np.abs(b).max(), 1.0)
+
+
 def test_flash_dropout_seed_sensitivity_and_mean():
     rng = np.random.default_rng(1)
     B, H, L, D = 1, 2, 512, 64
     q = jnp.asarray(rng.normal(size=(B, H, L, D)).astype(np.float32))
     mask = jnp.ones((B, L), dtype=bool)
-    f = jax.jit(lambda q, s: flash_attention(q, q, q, mask, s,
+    f = jax.jit(lambda q, s: flash_attention(q, q, q, mask, seed=s,
                                              temperature=8.0, dropout=0.5))
     outs = [np.asarray(f(q, jnp.asarray([s * 7 + 1]))) for s in range(16)]
     assert np.abs(outs[0] - outs[1]).max() > 0, "dropout mask ignores the seed"
