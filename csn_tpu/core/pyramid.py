@@ -608,7 +608,7 @@ def build_voxel_batch(
         # overflowing the static job capacity disables windows for the whole
         # batch (gather fallback — one retrace; logged).
         from csn_tpu.core.window_conv import (
-            WindowOverflow, window_for_map, window_jobs,
+            WindowOverflow, cap_mult_for_map, window_for_map, window_jobs,
         )
 
         try:
@@ -620,7 +620,7 @@ def build_voxel_batch(
                 n_in = B * spec.level_caps[src_l]
                 win["win!" + m.name] = window_jobs(
                     kmaps[m.name], n_in, window=window_for_map(m.name),
-                    group=m.ksize ** 2, cap_mult=2.0)
+                    group=m.ksize ** 2, cap_mult=cap_mult_for_map(m.name))
             kmaps.update(win)
         except WindowOverflow as e:  # pragma: no cover - rare geometry
             import logging

@@ -54,13 +54,34 @@ WINDOW = 512        # default source rows DMA'd per job
 
 
 def window_for_map(name: str) -> int:
-    """Per-map window width (multiple of 128 for the one-hot lane dim and
-    of 8 for DMA alignment). The one-hot gather's MXU cost scales with W, so
-    smaller is faster — but the window must still cover typical source
-    spreads with ~1 job per (tile, group). Measured on PartNet-like batches:
-    same/up maps fit 384 at ~0.9-1.05x the one-window ideal; down maps (an
-    output tile's sources span 2x-wider input ranges) need 512."""
-    return 512 if name.startswith("down") else 384
+    """Per-map window width. Must be a multiple of 128: W is the CONTRACTION
+    dim of the one-hot gather matmul, and the MXU pads it to 128-lane tiles
+    (a W of 320 computes exactly like 384). The gather cost scales with
+    njobs * W; measured jobs/ideal ratios x W on PartNet-like batches:
+
+      map kind | W128        | W256        | W384        | W512
+      same     | 2.35x = 301 | 1.56x = 400 | 0.94x = 365 | 0.92x = 470
+      down     | 4.5x  = 550 | 2.7x  = 692 | 2.0x  = 770 | 1.7x  = 850
+      up       | 1.0x  = 125 | 0.85x = 219 | 0.84x = 322 | 0.81x = 426
+
+    up maps (L_coarse sources for an L_fine tile span ~tile/2 rows) fit tiny
+    windows on paper, and W128's work product wins for same maps too — but
+    measured per-JOB overhead is ~2.9 us (grid step + DMA machinery), which
+    dominates at these scales: the best widths MINIMIZE JOB COUNT, not the
+    work product. Measured end-to-end: narrower-than-necessary widths lose
+    (294 -> 278 ms regression when down/up went 512/384 -> 256/128)."""
+    if name.startswith("up"):
+        return 384
+    if name.startswith("down"):
+        return 512
+    return 384
+
+
+def cap_mult_for_map(name: str) -> float:
+    """Job-worklist capacity headroom (jobs per (tile, group) budget). Down
+    maps legitimately need ~2.7 windows per (tile, group) at W=256; padded
+    slots are near-free (inactive jobs skip DMA + compute)."""
+    return 4.0 if name.startswith("down") else 2.0
 META_ROWS = 5       # tiles | groups | starts | flags | (reserved)
 
 F_FIRST = 1         # flags bit: first job of its output tile (init acc)

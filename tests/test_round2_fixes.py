@@ -119,7 +119,7 @@ def test_flash_prep_block_alignment():
     q = jnp.zeros((1, 2, 500, 16))
     k = jnp.zeros((1, 2, 500, 16))
     v = jnp.zeros((1, 2, 500, 16))
-    qf, kf, vf, mp, bq, bk, lqp, lkp = _prep(q, k, v, None, 512, 1024)
+    qf, kf, vf, mp, qmp, bq, bk, lqp, lkp = _prep(q, k, v, None, None, 512, 1024)
     assert bq % 8 == 0 and bk % 128 == 0
     assert lqp % bq == 0 and lkp % bk == 0
     assert qf.shape == (2, lqp, 16)
