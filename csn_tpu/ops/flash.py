@@ -175,6 +175,9 @@ def _prep(q, k, v, kv_mask, q_mask, block_q, block_k):
 def _flash_forward(q, k, v, kv_mask, q_mask, temperature: float,
                    dropout: float = 0.0, seed=None,
                    block_q: int = 512, block_k: int = 1024):
+    # block_k 1024: 512 would avoid the k/v pad to 6144 at the L0 cap
+    # (~1.2 ms of pad+slice), but the extra per-block overhead measured
+    # worse end-to-end (281 vs 275 ms/step).
     b, h, lq, dk = q.shape
     dv = v.shape[-1]
     qf, kf, vf, mp, qmp, block_q, block_k, lqp, lkp = _prep(
@@ -314,7 +317,8 @@ def _flash_backward(q, k, v, kv_mask, q_mask, out, lse, g, temperature: float,
                     block_q: int = 512, block_k: int = 768):
     # block_k 768 (vs 1024 forward): the fused kernel's [block_q, block_k]
     # f32 stack temporaries (s/p/dp/ds/dropout) plus the resident dq plane
-    # exceed the 16 MB scoped-vmem budget at 1024.
+    # exceed the 16 MB scoped-vmem budget at 1024; 512 measured worse
+    # (more per-block overhead).
     b, h, lq, dk_dim = q.shape
     lk = k.shape[2]
     dv = v.shape[-1]
