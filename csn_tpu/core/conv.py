@@ -83,10 +83,10 @@ def _conv_impl(feats, kmap, weights, accum_dtype=jnp.float32,
     return out.astype(feats.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def sparse_conv_tvjp(feats, weights, kmap, kmap_t, win_starts, win_starts_t,
                      mirror: bool, win_group: int, win_window: int,
-                     win_window_t: int = 512):
+                     win_window_t: int = 512, input_grad: bool = True):
     """Sparse conv with an all-gather backward.
 
     Args:
@@ -119,13 +119,14 @@ def _conv_fwd_impl(feats, kmap, weights, win_starts, win_group, win_window):
 
 
 def _tvjp_fwd(feats, weights, kmap, kmap_t, win_starts, win_starts_t, mirror,
-              win_group, win_window, win_window_t):
+              win_group, win_window, win_window_t, input_grad):
     out = _conv_fwd_impl(feats, kmap, weights, win_starts, win_group,
                          win_window)
     return out, (feats, weights, kmap, kmap_t, win_starts_t)
 
 
-def _tvjp_bwd(mirror, win_group, win_window, win_window_t, res, g):
+def _tvjp_bwd(mirror, win_group, win_window, win_window_t, input_grad, res,
+              g):
     feats, weights, kmap, kmap_t, win_starts_t = res
     g = g.astype(jnp.float32)
     # weight paired with the transpose-map offset k: mirrored for same-level
@@ -136,12 +137,13 @@ def _tvjp_bwd(mirror, win_group, win_window, win_window_t, res, g):
     if win_starts_t is not None:
         # Windowed fused backward over the transpose map's worklist (== the
         # forward worklist for same-level maps). One Pallas pass emits
-        # d_feats AND dW — see core/window_conv.py.
+        # d_feats AND dW — see core/window_conv.py. Stem convs consume raw
+        # input data, so their d_feats is dead: dw_only skips those matmuls.
         from csn_tpu.core.window_conv import window_conv_bwd
 
         d_feats, d_w_t = window_conv_bwd(
             feats, g, kmap_t, win_starts_t, w_for_t, group=win_group,
-            window=win_window_t)
+            window=win_window_t, dw_only=not input_grad)
         d_w = d_w_t[::-1] if mirror else d_w_t
         return (d_feats.astype(feats.dtype), d_w.astype(weights.dtype),
                 None, None, None, None)
@@ -154,8 +156,11 @@ def _tvjp_bwd(mirror, win_group, win_window, win_window_t, res, g):
     # (dW identity: sum_i f[kmap[k][i]] g[i]^T == f^T gather(g, kmap_t[k]),
     # because each offset map is a partial permutation.)
     gg = _gather_rows(g, kmap_t)  # [K, N_in, Cout] (one batched gather)
-    d_feats = jnp.einsum("knd,kcd->nc", gg, w_for_t.astype(jnp.float32),
-                         preferred_element_type=jnp.float32)
+    if input_grad:
+        d_feats = jnp.einsum("knd,kcd->nc", gg, w_for_t.astype(jnp.float32),
+                             preferred_element_type=jnp.float32)
+    else:
+        d_feats = jnp.zeros_like(feats, dtype=jnp.float32)
     d_w_t = jnp.einsum("nc,knd->kcd", f32, gg,
                        preferred_element_type=jnp.float32)
     # d_w_t[k] corresponds to transpose-offset k -> un-mirror for same maps.
@@ -179,6 +184,7 @@ def sparse_conv(
     win_group: int = 3,
     win_window: int = 512,
     win_window_t: int = None,
+    input_grad: bool = True,
     *,
     accum_dtype=jnp.float32,
 ) -> jnp.ndarray:
@@ -188,6 +194,8 @@ def sparse_conv(
     without it, plain autodiff (scatter-add backward) applies. `win_starts`
     / `win_starts_t` route forward / backward through the Pallas windowed
     kernels (for same-level maps pass the same worklist for both).
+    `input_grad=False` declares the input a gradient-free leaf (stem convs
+    on raw data): backward skips the d_feats work and returns zeros.
     """
     if kmap_t is not None:
         if mirror and win_starts_t is None:
@@ -196,7 +204,7 @@ def sparse_conv(
             win_window_t = win_window
         return sparse_conv_tvjp(feats, weights, kmap, kmap_t, win_starts,
                                 win_starts_t, mirror, win_group, win_window,
-                                win_window_t)
+                                win_window_t, input_grad)
     return _conv_impl(feats, kmap, weights, accum_dtype, remat=True)
 
 

@@ -297,7 +297,7 @@ def _wjobs_fwd_kernel(meta_ref, kmap_ref, feats_hbm, w_ref, out_ref,
 def _wjobs_bwd_kernel(meta_ref, kmap_ref, f_tile_ref, g_hbm, wt_ref,
                       dfeats_ref, dw_ref, win_scratch, sem, *,
                       group: int, window: int, n_in: int,
-                      cap: int, nbuf: int):
+                      cap: int, nbuf: int, dw_only: bool = False):
     """d_feats tile + fused dW: gg = onehot @ g_window serves both
     d_feats += gg @ W_pair^T and dW_t[k] += f_tile^T @ gg. Both outputs are
     accumulated directly in their VMEM-resident out blocks (dW's block index
@@ -348,7 +348,9 @@ def _wjobs_bwd_kernel(meta_ref, kmap_ref, f_tile_ref, g_hbm, wt_ref,
             onehot = _onehot_tile(kmap_ref[k, :], start, n_in, window)
             gg = _dot(onehot, win_bf, ((1,), (0,)))            # [T, Cout]
             ggb = gg.astype(jnp.bfloat16)
-            dfeats_ref[...] += _dot(ggb, wt_ref[k], ((1,), (0,)))  # [T, Cin]
+            if not dw_only:
+                dfeats_ref[...] += _dot(ggb, wt_ref[k],
+                                        ((1,), (0,)))          # [T, Cin]
             dw_ref[k, :, :] += _dot(f_bf, ggb, ((0,), (0,)))   # [Cin, Cout]
             return ()
 
@@ -416,14 +418,17 @@ def window_conv_fwd(feats, kmap, meta, weights, *, group: int,
 
 
 def window_conv_bwd(feats, g, kmap_t, meta, weights_pair, *, group: int,
-                    window: int = WINDOW, nbuf: int = 2):
+                    window: int = WINDOW, nbuf: int = 2,
+                    dw_only: bool = False):
     """Fused backward for a same-level windowed conv.
 
     feats [N, Cin] (forward input), g [N, Cout] (upstream grad), kmap_t
     [K, N] transpose map (== kmap for same-level odd kernels), weights_pair
     [K, Cin, Cout] ALREADY mirrored for same-level maps. Returns
     (d_feats [N, Cin], d_w_t [K, Cin, Cout]) with d_w_t in transpose-offset
-    order (caller un-mirrors).
+    order (caller un-mirrors). `dw_only=True` skips the d_feats matmuls
+    (returned d_feats is zeros) — for stem convs whose input is raw data
+    with no gradient consumer.
     """
     n_out_f, cin_raw = feats.shape
     K, n_out = kmap_t.shape
@@ -443,7 +448,7 @@ def window_conv_bwd(feats, g, kmap_t, meta, weights_pair, *, group: int,
     cap = meta.shape[-1]
 
     kern = functools.partial(_wjobs_bwd_kernel, group=group, window=window,
-                             n_in=n_src, cap=cap, nbuf=nbuf)
+                             n_in=n_src, cap=cap, nbuf=nbuf, dw_only=dw_only)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(cap,),

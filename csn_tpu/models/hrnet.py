@@ -80,7 +80,8 @@ class HRNetBase(nn.Module):
         isd = self._init_stage_dims()
         nt, bm = self.norm_type, self.bn_momentum
 
-        self.conv0 = SparseConv(self.INIT_DIM, f"same0k{self.conv1_kernel_size}")
+        self.conv0 = SparseConv(self.INIT_DIM, f"same0k{self.conv1_kernel_size}",
+                                input_grad=False)
         self.norm0 = Norm(nt, bm)
         self.conv1 = SparseConv(isd, "same0k3")
         self.norm1 = Norm(nt, bm)

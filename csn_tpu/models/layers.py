@@ -69,6 +69,10 @@ class SparseConv(nn.Module):
     features: int
     map_name: str
     use_bias: bool = False
+    # False for stem convs applied to raw input data: their d_feats has no
+    # consumer, so backward computes only dW (saves the per-offset d_feats
+    # matmuls in the windowed kernel).
+    input_grad: bool = True
 
     @nn.compact
     def __call__(self, batch, x: jnp.ndarray, out_shape: Tuple[int, int]) -> jnp.ndarray:
@@ -91,7 +95,8 @@ class SparseConv(nn.Module):
         out = sparse_conv(x.reshape(b * l_in, cin), kmap, w, kmap_t=kmap_t,
                           mirror=mirror, win_starts=win_starts,
                           win_starts_t=win_starts_t, win_group=win_group,
-                          win_window=win_window, win_window_t=win_window_t)
+                          win_window=win_window, win_window_t=win_window_t,
+                          input_grad=self.input_grad)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             out = out + bias[None, :]

@@ -73,7 +73,8 @@ class ResNetBase(nn.Module):
 
     def setup(self):
         nt, bm = self.NORM_TYPE, self.bn_momentum
-        self.conv0 = SparseConv(self.INIT_DIM, f"same0k{self.conv1_kernel_size}")
+        self.conv0 = SparseConv(self.INIT_DIM, f"same0k{self.conv1_kernel_size}",
+                                input_grad=False)
         self.norm0 = Norm(nt, bm)
         layers = []
         for i in range(4):

@@ -51,7 +51,8 @@ class ResUNetBase(nn.Module):
     def setup(self):
         nt, bm = self.NORM_TYPE, self.bn_momentum
         P, L = self.PLANES, self.LAYERS
-        self.conv0 = SparseConv(self.INIT_DIM, f"same0k{self.conv1_kernel_size}")
+        self.conv0 = SparseConv(self.INIT_DIM, f"same0k{self.conv1_kernel_size}",
+                                input_grad=False)
         self.norm0 = Norm(nt, bm)
         self.block0 = self._blocks(P[0], 0, L[0])
         self.down_convs = tuple(
