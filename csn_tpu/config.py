@@ -101,7 +101,15 @@ class Config:
                                      # 'auto' = on for TPU, off on CPU
     use_windows: str = "auto"        # Pallas windowed sparse convs (same-
                                      # level k3 maps): 'auto' = TPU only
-    compute_dtype: str = "float32"   # 'float32' | 'bfloat16' activations
+    compute_dtype: str = "float32"   # activation dtype: 'float32' |
+                                     # 'bfloat16' | 'auto' (= bf16 on TPU);
+                                     # params/opt/BN stats/loss stay f32.
+                                     # bf16 is ~4% faster end-to-end
+                                     # (263 vs 275 ms/step) but defaults
+                                     # off: single-seed synthetic runs
+                                     # showed slightly slower convergence,
+                                     # so accuracy parity keeps f32 until
+                                     # real-PartNet A/B evidence exists
     data_parallel: int = 1           # devices for DP (parallel/ module)
 
     def voxel_size(self) -> float:
@@ -136,6 +144,18 @@ class Config:
         """Pallas windowed sparse convs (core/window_conv.py): default on
         for TPU, XLA gather path on CPU."""
         return self._resolve_tpu_flag(self.use_windows)
+
+    def resolved_compute_dtype(self) -> str:
+        """Activation dtype for the backbone ('float32' | 'bfloat16';
+        'auto' = bfloat16 on TPU). Params, optimizer state, BN statistics,
+        layer/batch-norm math, pooled descriptors and the loss stay f32."""
+        v = str(self.compute_dtype).lower()
+        if v == "auto":
+            import jax
+
+            return "bfloat16" if jax.default_backend() not in ("cpu",) \
+                else "float32"
+        return v
 
     def normalized(self) -> "Config":
         """Apply the derived-flag expansion of `get_config()`

@@ -412,9 +412,11 @@ def window_conv_fwd(feats, kmap, meta, weights, *, group: int,
     )
     out = pl.pallas_call(
         kern, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_out + opad, cout), feats.dtype),
+        # accumulate in f32 regardless of the activation dtype (27+ offset
+        # contributions per row); cast at the boundary
+        out_shape=jax.ShapeDtypeStruct((n_out + opad, cout), jnp.float32),
     )(meta.reshape(-1), kmap_p, feats_p, w_p)
-    return out[:n_out]
+    return out[:n_out].astype(feats.dtype)
 
 
 def window_conv_bwd(feats, g, kmap_t, meta, weights_pair, *, group: int,
@@ -470,7 +472,7 @@ def window_conv_bwd(feats, g, kmap_t, meta, weights_pair, *, group: int,
     d_feats, d_w_t = pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((n_out + opad, cin), feats.dtype),
+            jax.ShapeDtypeStruct((n_out + opad, cin), jnp.float32),
             jax.ShapeDtypeStruct((K, cin, cout_p), jnp.float32),
         ),
     )(meta.reshape(-1), kmap_p, f_p, g_p, wt)

@@ -53,6 +53,9 @@ class HRNetBase(nn.Module):
     k_neighbors: int = 0
     attn_dropout: float = 0.1
     use_flash: bool = False
+    # activation dtype ('float32' | 'bfloat16'): bf16 halves activation HBM
+    # traffic; params / BN stats / norm math / descriptors / logits stay f32
+    compute_dtype: str = "float32"
 
     NUM_STAGES = 1
     NUM_BLOCKS = 3
@@ -153,7 +156,7 @@ class HRNetBase(nn.Module):
         stage_outputs tuple of [B,L_l,C_l])."""
         S = self.NUM_STAGES
         m0 = batch.masks[0]
-        x = batch.vox_feats
+        x = batch.vox_feats.astype(self.compute_dtype)
 
         out = self.conv0(batch, x, m0.shape)
         out = self.norm0(out, m0, train)
@@ -254,9 +257,9 @@ class HRNetSeg(HRNetBase):
         fc1 = self.fc1(out)
         fc1 = self.fc1_norm(fc1, batch.masks[0], train)
         fc1 = relu_masked(fc1, batch.masks[0])
-        logits = self.fc2(fc1)
+        logits = self.fc2(fc1).astype(jnp.float32)
         if return_fc1:
-            return logits, fc1
+            return logits, fc1.astype(jnp.float32)
         return logits
 
 
@@ -306,9 +309,9 @@ class HRNetSimCSN(HRNetBase):
             q_out = self._features(batch, train)
             q_ssa = self._ssa(q_out, qmask, train)
             if return_ssa:
-                return q_ssa
+                return q_ssa.astype(jnp.float32)
             out = jnp.concatenate([q_out, q_ssa], axis=-1)
-            return self.out_head(out)
+            return self.out_head(out).astype(jnp.float32)
 
         # ONE combined (K+1)*B backbone + SSA pass — the reference also
         # batches query and keys through a single backbone call
@@ -325,7 +328,7 @@ class HRNetSimCSN(HRNetBase):
         L0 = bmask.shape[1]
         q_out, qmask, q_ssa = feats[:B], bmask[:B], ssa[:B]
         if return_ssa:
-            return q_ssa
+            return q_ssa.astype(jnp.float32)
 
         # compatibility softmax over [self]+K (`models/hrnet.py:377-396`)
         pools = global_avg_pool(ssa, bmask).reshape(K + 1, B, self.d_model)
@@ -352,8 +355,8 @@ class HRNetSimCSN(HRNetBase):
         csa = comp[:, 0, None, None] * q_ssa + jnp.einsum(
             "bk,kbld->bld", comp[:, 1:], cross)
 
-        out = jnp.concatenate([q_out, csa], axis=-1)
-        return self.out_head(out)
+        out = jnp.concatenate([q_out, csa.astype(q_out.dtype)], axis=-1)
+        return self.out_head(out).astype(jnp.float32)
 
 
 class HRNetSeg2S(HRNetSeg):

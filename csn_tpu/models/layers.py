@@ -113,7 +113,9 @@ class Conv1x1(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.Dense(self.features, use_bias=self.use_bias,
+        # compute in the activation dtype (f32 params cast down; MXU
+        # accumulates f32 either way)
+        return nn.Dense(self.features, use_bias=self.use_bias, dtype=x.dtype,
                         kernel_init=nn.initializers.variance_scaling(
                             1.0 / 3.0, "fan_in", "uniform"))(x)
 
@@ -142,12 +144,15 @@ class MaskedBatchNorm(nn.Module):
         if train:
             # one fused pass: sum and sum-of-squares reduce together (the
             # two-pass (x-mean)^2 form forces a second HBM sweep because the
-            # second reduction depends on the first)
+            # second reduction depends on the first). Stats accumulate in
+            # f32 even for bf16 activations (a 90k-element bf16 sum loses
+            # ~3 decimal digits).
+            xf = x.astype(jnp.float32)
             m = mask.astype(jnp.float32)
             n = jnp.maximum(m.sum(), 1.0)
-            xm = x * m[..., None]
+            xm = xf * m[..., None]
             s1 = xm.sum(axis=(0, 1))
-            s2 = (x * xm).sum(axis=(0, 1))
+            s2 = (xf * xm).sum(axis=(0, 1))
             mean = s1 / n
             var = jnp.maximum(s2 / n - mean * mean, 0.0)
             if not self.is_initializing():
@@ -159,7 +164,11 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        # fold into one multiply-add (f32 per-channel coefficients, applied
+        # in the activation dtype): y = x * inv + beta
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        beta = bias - mean * inv
+        y = x * inv.astype(x.dtype) + beta.astype(x.dtype)
         return jnp.where(mask[..., None], y, 0.0)
 
 
@@ -174,14 +183,17 @@ class MaskedInstanceNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+        xf = x.astype(jnp.float32)
         m = mask.astype(jnp.float32)[..., None]
         n = jnp.maximum(m.sum(axis=1, keepdims=True), 1.0)
-        xm = x * m
+        xm = xf * m
         s1 = xm.sum(axis=1, keepdims=True)
-        s2 = (x * xm).sum(axis=1, keepdims=True)
+        s2 = (xf * xm).sum(axis=1, keepdims=True)
         mean = s1 / n
         var = jnp.maximum(s2 / n - mean * mean, 0.0)
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        beta = bias - mean * inv
+        y = x * inv.astype(x.dtype) + beta.astype(x.dtype)
         return jnp.where(mask[..., None], y, 0.0)
 
 
@@ -192,8 +204,9 @@ class SparseLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        y = nn.LayerNorm(epsilon=self.eps)(x)
-        return jnp.where(mask[..., None], y, 0.0)
+        # stats in f32 (flax computes in `dtype`); output back in x's dtype
+        y = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32)(x)
+        return jnp.where(mask[..., None], y.astype(x.dtype), 0.0)
 
 
 class Norm(nn.Module):
@@ -231,10 +244,12 @@ def sum_pool(batch, x: jnp.ndarray, map_name: str,
 
 
 def global_avg_pool(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """[B, L, C] -> [B, C] masked mean."""
-    m = mask.astype(x.dtype)[..., None]
+    """[B, L, C] -> [B, C] masked mean (f32 accumulation and output: the
+    result feeds the compatibility-weight head, and a 5k-element bf16 sum
+    is too coarse there)."""
+    m = mask.astype(jnp.float32)[..., None]
     n = jnp.maximum(m.sum(axis=1), 1.0)
-    return (x * m).sum(axis=1) / n
+    return (x.astype(jnp.float32) * m).sum(axis=1) / n
 
 
 def global_max_pool(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

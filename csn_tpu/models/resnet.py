@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax.numpy as jnp
 from flax import linen as nn
 
 from csn_tpu.core.pyramid import MapSpec
@@ -49,6 +50,7 @@ class ResNetBase(nn.Module):
     out_channels: int
     conv1_kernel_size: int = 5
     bn_momentum: float = 0.02
+    compute_dtype: str = "float32"
 
     BLOCK = BasicBlock
     LAYERS = ()
@@ -91,14 +93,15 @@ class ResNetBase(nn.Module):
 
     def __call__(self, batch, train: bool = False):
         m = batch.masks
-        x = self.conv0(batch, batch.vox_feats, m[0].shape)
+        x = self.conv0(batch, batch.vox_feats.astype(self.compute_dtype),
+                       m[0].shape)
         x = self.norm0(x, m[0], train)
         x = relu_masked(x, m[0])
         x = sum_pool(batch, x, "down0k2", m[1].shape)
         for stage in self.layers:
             for blk in stage:
                 x = blk(batch, x, train)
-        return self.final(x)
+        return self.final(x).astype(jnp.float32)
 
 
 class ResNet14(ResNetBase):

@@ -23,6 +23,7 @@ class ResUNetBase(nn.Module):
     out_channels: int
     conv1_kernel_size: int = 5
     bn_momentum: float = 0.02
+    compute_dtype: str = "float32"
 
     BLOCK = BasicBlock
     PLANES = (64, 128, 256, 512, 256, 128, 128)
@@ -77,7 +78,8 @@ class ResUNetBase(nn.Module):
 
     def __call__(self, batch, train: bool = False):
         m = batch.masks
-        x = self.conv0(batch, batch.vox_feats, m[0].shape)
+        x = self.conv0(batch, batch.vox_feats.astype(self.compute_dtype),
+                       m[0].shape)
         x = self.norm0(x, m[0], train)
         x = relu_masked(x, m[0])
         for blk in self.block0:
@@ -106,7 +108,7 @@ class ResUNetBase(nn.Module):
         x = self.final_fc(x)
         x = self.final_norm(x, m[0], train)
         x = relu_masked(x, m[0])
-        return self.final_out(x)
+        return self.final_out(x).astype(jnp.float32)
 
 
 class ResUNet14(ResUNetBase):

@@ -166,10 +166,16 @@ class MultiHeadAttention(nn.Module):
         lk = k.shape[1]
         residual = q
 
-        wq = nn.Dense(self.n_head * self.d_k, use_bias=False, name="w_qs")
-        wk = nn.Dense(self.n_head * self.d_k, use_bias=False, name="w_ks")
-        wv = nn.Dense(self.n_head * self.d_v, use_bias=False, name="w_vs")
-        fc = nn.Dense(self.d_model, use_bias=False, name="fc")
+        # projections run in the activation dtype (bf16 under mixed
+        # precision); the LayerNorm below computes in f32 regardless
+        adt = q.dtype
+        wq = nn.Dense(self.n_head * self.d_k, use_bias=False, name="w_qs",
+                      dtype=adt)
+        wk = nn.Dense(self.n_head * self.d_k, use_bias=False, name="w_ks",
+                      dtype=adt)
+        wv = nn.Dense(self.n_head * self.d_v, use_bias=False, name="w_vs",
+                      dtype=adt)
+        fc = nn.Dense(self.d_model, use_bias=False, name="fc", dtype=adt)
 
         qh = wq(q).reshape(b, lq, self.n_head, self.d_k).transpose(0, 2, 1, 3)
         kh = wk(k).reshape(b, lk, self.n_head, self.d_k).transpose(0, 2, 1, 3)
@@ -211,8 +217,8 @@ class MultiHeadAttention(nn.Module):
         out = fc(out)
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
         out = out + residual
-        out = nn.LayerNorm(epsilon=1e-6)(out)
-        return out
+        out = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)(out)
+        return out.astype(adt)
 
 
 def compatibility_softmax(

@@ -28,6 +28,7 @@ def build_trainer(config: Config, phases=("train", "val")) -> CSNTrainer:
         n_head=config.n_head,
         k_neighbors=config.k_neighbors,
         use_flash=config.resolved_use_flash(),
+        compute_dtype=config.resolved_compute_dtype(),
     )
     spec = pyramid_spec_for_model(
         model_cls, num_points=config.num_points,

@@ -21,7 +21,8 @@ def build_trainer(config: Config, phases=("train", "val")) -> SegTrainer:
     model = model_cls(
         out_channels=num_labels,
         conv1_kernel_size=config.conv1_kernel_size,
-        bn_momentum=config.bn_momentum, **kw)
+        bn_momentum=config.bn_momentum,
+        compute_dtype=config.resolved_compute_dtype(), **kw)
     spec = pyramid_spec_for_model(
         model_cls, num_points=config.num_points,
         voxel_size=config.voxel_size(),

@@ -142,3 +142,40 @@ def test_csa_with_self_key_equals_ssa_only():
         variables, jb)
     np.testing.assert_allclose(np.asarray(out_csa), np.asarray(out_ssa),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_bfloat16_compute_dtype_forward_and_grads():
+    """Opt-in mixed precision (Config.compute_dtype='bfloat16'): activations
+    run in bf16 but logits come back f32 and gradients stay finite; the
+    f32 path's output must agree to bf16 tolerance."""
+    import jax.numpy as jnp
+
+    cls = load_model("HRNetSimCSN2S")
+    vb, jb, spec = build_jax_batch(cls)
+    kw = dict(out_channels=5, conv1_kernel_size=3, d_model=16, n_head=2,
+              k_neighbors=1)
+    m16 = cls(compute_dtype="bfloat16", **kw)
+    m32 = cls(compute_dtype="float32", **kw)
+    variables = jax.jit(lambda r, b, k: m32.init(r, b, k, train=False))(
+        jax.random.PRNGKey(0), jb, (jb,))
+    o16 = jax.jit(lambda v, b, k: m16.apply(v, b, k, train=False))(
+        variables, jb, (jb,))
+    o32 = jax.jit(lambda v, b, k: m32.apply(v, b, k, train=False))(
+        variables, jb, (jb,))
+    assert o16.dtype == jnp.float32
+    scale = max(float(np.abs(np.asarray(o32)).max()), 1.0)
+    assert float(np.abs(np.asarray(o16 - o32)).max()) < 0.05 * scale
+
+    def loss_fn(p):
+        out, nv = m16.apply(
+            {"params": p, "batch_stats": variables.get("batch_stats", {})},
+            jb, (jb,), train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)})
+        return (out ** 2).mean(), nv
+
+    (loss, _), grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True))(variables["params"])
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    assert all(np.asarray(g).dtype == np.float32 for g in leaves)
