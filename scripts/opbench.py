@@ -68,6 +68,8 @@ def main():
         kmap_t = kmap if tname == name else jb.kmaps[tname]
         win = jb.kmaps.get("win!" + name)
         k = kmap.shape[0]
+        ks = int(name.rsplit("k", 1)[1])
+        group = ks * ks  # one window per dx-slab (25 for the k5 stem)
         w0 = jnp.asarray(rng.normal(size=(k, cin, cout)).astype(np.float32)
                          * 0.05)
         x0 = jnp.asarray(rng.normal(size=(n_in, cin)).astype(np.float32))
@@ -75,7 +77,7 @@ def main():
         def fwd_body(c):
             x, w = c
             out = sparse_conv(x, kmap, w, kmap_t=kmap_t, mirror=mir,
-                              win_starts=win, win_group=9)
+                              win_starts=win, win_group=group)
             # mix output back into the input (shape-compatible only when
             # n_in == n_out and cin == cout; pad/slice otherwise)
             if out.shape == x.shape:
@@ -89,7 +91,7 @@ def main():
 
             def loss(x, w):
                 o = sparse_conv(x, kmap, w, kmap_t=kmap_t, mirror=mir,
-                                win_starts=win, win_group=9)
+                                win_starts=win, win_group=group)
                 return jnp.sum(o * o) * 1e-6
 
             gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
