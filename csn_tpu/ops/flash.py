@@ -14,10 +14,12 @@ both matmuls on the MXU (bf16 operands, f32 accumulation).
   classic two-kernel flash split there is no second pass recomputing
   s/p/dp for dQ, just one extra ds @ k matmul per block visit.
 * Dropout (attention-weight dropout, torch semantics dropout(softmax(s))@v)
-  runs inside the kernels with the TPU PRNG; the seed is a pure function of
-  (batch*head, q-block, kv-block), so forward and backward reproduce the
-  same mask. The flash identity applies: the numerator is dropped, the
-  denominator is not — exactly p_ij * m_ij / keep.
+  runs inside the kernels with the TPU PRNG; bits come in fixed 128-wide kv
+  chunks seeded by the ABSOLUTE (batch*head, q-block, kv-chunk) position,
+  so forward and backward reproduce the same mask even though they use
+  different kv block sizes (see _drop_mask). The flash identity applies:
+  the numerator is dropped, the denominator is not — exactly
+  p_ij * m_ij / keep.
 
 Replaces both the per-batch-element attention loop of the reference
 (`MinkowskiNet/models/hrnet.py:378-410`) and MID-FC's 20x500 chunking
@@ -37,16 +39,35 @@ NEG_INF = -1e30
 LANES = 128
 
 
-def _drop_mask(seed_ref, bh, qi, ki, shape, keep: float):
-    """Deterministic per-(bh, qi, ki) dropout keep-mask. Two seed words:
-    the traced step seed and the folded grid position (this Mosaic version
-    supports at most two seed words; int32-overflow mixing is avoided)."""
-    pltpu.prng_seed(seed_ref[0, 0], bh * 1000003 + qi * 769 + ki)
-    # prng_random_bits yields *signed* int32 on this stack; bitcast before
-    # comparing, or the signed compare keeps ~everything.
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+def _drop_mask(seed_ref, bh, qi, kc0, shape, keep: float):
+    """Deterministic dropout keep-mask for a [block_q, block_k] tile whose
+    kv range starts at absolute 128-lane chunk `kc0`.
+
+    Bits are generated in fixed 128-wide kv chunks, each seeded by the
+    ABSOLUTE (bh, q-block, kv-chunk) position — NOT by the kv block index.
+    This makes the mask invariant to the kv block size, which is load-
+    bearing: forward and backward use different block_k (1024 vs 768 — the
+    fused backward's VMEM budget), and a block-shaped raster would make the
+    backward drop different entries than the forward did. That mismatch is
+    not a tolerance issue but a biased gradient: it sent real training NaN
+    within ~50 iterations. (q blocks are the same size in both passes, so
+    `qi` can stay a block index.)
+
+    Two seed words only: the traced step seed and the folded position (this
+    Mosaic version supports at most two; int32-overflow mixing is avoided —
+    qi < 769 q-blocks and kv chunks < 769 per q block stay collision-free).
+    """
+    nchunks = shape[1] // 128
     thresh = jnp.uint32(int(keep * float(2 ** 32 - 1)))
-    return bits < thresh
+    cols = []
+    for i in range(nchunks):
+        pltpu.prng_seed(seed_ref[0, 0], bh * 1000003 + qi * 769 + kc0 + i)
+        # prng_random_bits yields *signed* int32 on this stack; bitcast
+        # before comparing, or the signed compare keeps ~everything.
+        bits = pltpu.bitcast(pltpu.prng_random_bits((shape[0], 128)),
+                             jnp.uint32)
+        cols.append(bits < thresh)
+    return jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
 
 
 # ---------------------------------------------------------------------------
@@ -99,7 +120,8 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, qmask_ref, out_ref,
 
         if dropout > 0.0:
             keep = 1.0 - dropout
-            dm = _drop_mask(seed_ref, bh, qi, ki, p.shape, keep)
+            dm = _drop_mask(seed_ref, bh, qi,
+                            ki * (p.shape[1] // 128), p.shape, keep)
             p_num = jnp.where(dm, p * (1.0 / keep), 0.0)
         else:
             p_num = p
@@ -280,7 +302,8 @@ def _bwd_fused_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
         if dropout > 0.0:
             keep = 1.0 - dropout
-            dm = _drop_mask(seed_ref, bh, qi, ki, p.shape, keep)
+            dm = _drop_mask(seed_ref, bh, qi,
+                            ki * (p.shape[1] // 128), p.shape, keep)
             dpd = jnp.where(dm, dp * (1.0 / keep), 0.0)
             p_num = jnp.where(dm, p * (1.0 / keep), 0.0)
         else:

@@ -82,6 +82,35 @@ def test_flash_qmask_block_skip_matches_reference():
         assert np.abs(a - b).max() < 0.01 * max(np.abs(b).max(), 1.0)
 
 
+def test_flash_dropout_mask_invariant_to_kv_block_size():
+    """REGRESSION: the dropout mask must depend on absolute positions, not
+    the kv block raster. Forward and backward use different block_k (1024
+    vs 768); when the mask followed the block shape, the backward dropped
+    different entries than the forward — a biased gradient that sent real
+    training NaN within ~50 iterations. Outputs across block_k choices may
+    differ only by online-softmax accumulation-order noise (same level as
+    the dropout=0 control), never by O(1) mask flips."""
+    from csn_tpu.ops.flash import _flash_forward
+
+    rng = np.random.default_rng(3)
+    B, H, LQ, LK, D = 2, 2, 1024, 1536, 64
+    q = jnp.asarray(rng.normal(size=(B, H, LQ, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, LK, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, LK, D)).astype(np.float32))
+    kvm = jnp.asarray(np.arange(LK)[None, :] < np.array([1100, 1536])[:, None])
+    seed = jnp.asarray([99], jnp.int32)
+
+    def run(drop, bk):
+        o, _ = jax.jit(lambda q, k, v: _flash_forward(
+            q, k, v, kvm, None, 8.0, drop, seed, 512, bk))(q, k, v)
+        return np.asarray(o)
+
+    control = np.abs(run(0.0, 1536) - run(0.0, 768)).max()   # order noise
+    for bk in (768, 512, 384):
+        diff = np.abs(run(0.2, 1536) - run(0.2, bk)).max()
+        assert diff < 10 * max(control, 1e-6), (bk, diff, control)
+
+
 def test_flash_dropout_seed_sensitivity_and_mean():
     rng = np.random.default_rng(1)
     B, H, L, D = 1, 2, 512, 64
