@@ -105,7 +105,7 @@ class Config:
                                      # 'bfloat16' | 'auto' (= bf16 on TPU);
                                      # params/opt/BN stats/loss stay f32.
                                      # bf16 is ~4% faster end-to-end
-                                     # (263 vs 275 ms/step) but defaults
+                                     # (264 vs 277 ms/step) but defaults
                                      # off: single-seed synthetic runs
                                      # showed slightly slower convergence,
                                      # so accuracy parity keeps f32 until
