@@ -165,10 +165,9 @@ def main():
 
     cls = load_model("HRNetSimCSN3S")
     use_flash = os.environ.get("BENCH_FLASH", "1") == "1"
-    # activation dtype: default mirrors the shipped Config default (f32);
-    # BENCH_DTYPE=bfloat16 measures the opt-in mixed-precision path
-    # (264 vs 277 ms/step at the bench protocol)
-    amp = os.environ.get("BENCH_DTYPE", "float32")
+    # activation dtype: default mirrors Config.compute_dtype='auto'
+    # (bf16 on TPU; BENCH_DTYPE=float32 measures the f32 path, 277 ms)
+    amp = os.environ.get("BENCH_DTYPE", "bfloat16")
     model = cls(out_channels=NUM_CLASSES, conv1_kernel_size=5, d_model=256,
                 n_head=4, k_neighbors=K, use_flash=use_flash,
                 compute_dtype=amp)
