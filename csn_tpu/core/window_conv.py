@@ -41,7 +41,6 @@ the hot stride-1 maps; see `core/conv.py` for the XLA gather fallback.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import numpy as np
 import jax
