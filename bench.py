@@ -166,8 +166,11 @@ def main():
     cls = load_model("HRNetSimCSN3S")
     use_flash = os.environ.get("BENCH_FLASH", "1") == "1"
     # activation dtype: default mirrors Config.compute_dtype='auto'
-    # (bf16 on TPU; BENCH_DTYPE=float32 measures the f32 path, 277 ms)
-    amp = os.environ.get("BENCH_DTYPE", "bfloat16")
+    # (bf16 on TPU, f32 elsewhere; BENCH_DTYPE=float32 measures f32: 277 ms)
+    from csn_tpu.config import Config
+
+    amp = os.environ.get("BENCH_DTYPE",
+                         Config().resolved_compute_dtype())
     model = cls(out_channels=NUM_CLASSES, conv1_kernel_size=5, d_model=256,
                 n_head=4, k_neighbors=K, use_flash=use_flash,
                 compute_dtype=amp)

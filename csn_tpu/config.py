@@ -133,7 +133,9 @@ class Config:
             return False
         import jax
 
-        return jax.default_backend() not in ("cpu",)
+        # 'auto' = the Pallas TPU kernels; any other backend (cpu, gpu)
+        # cannot run them and takes the XLA path.
+        return jax.default_backend() == "tpu"
 
     def resolved_use_flash(self) -> bool:
         """The default config is the fast path on TPU; on CPU (where Pallas
@@ -153,7 +155,9 @@ class Config:
         if v == "auto":
             import jax
 
-            return "bfloat16" if jax.default_backend() not in ("cpu",) \
+            # bf16 default is validated on TPU only (real-trainer A/B,
+            # STATUS.md); unvalidated backends (GPU, ...) keep f32.
+            return "bfloat16" if jax.default_backend() == "tpu" \
                 else "float32"
         return v
 

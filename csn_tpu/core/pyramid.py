@@ -262,6 +262,18 @@ def concat_jax_batches(batches: Sequence["JaxVoxelBatch"]) -> "JaxVoxelBatch":
 
             src_l, dst_l = _map_levels(name[4:])
             if any((b_ * caps[dst_l]) % TILE for b_ in bs):
+                # Per-batch output rows not TILE-aligned -> the metas were
+                # built over incompatible tile grids and cannot be offset.
+                # Falling back to the gather path here silently loses the
+                # fastest kernel (and forces a retrace), so say it loudly.
+                import logging
+
+                logging.warning(
+                    "concat_jax_batches: dropping %s (batch output rows "
+                    "%s x cap %d not %d-aligned) — combined pass falls "
+                    "back to the XLA gather conv for this map; choose "
+                    "level caps so B*cap %% %d == 0",
+                    name, bs, caps[dst_l], TILE, TILE)
                 continue
             parts = []
             for g, b in enumerate(batches):

@@ -249,7 +249,7 @@ class HRNetSeg(HRNetBase):
             self.bn_momentum)
         self.fc1 = Conv1x1(self.d_model, use_bias=True)
         self.fc1_norm = Norm(self.norm_type, self.bn_momentum)
-        self.fc2 = Conv1x1(self.out_channels, use_bias=True)
+        self.fc2 = Conv1x1(self.out_channels, use_bias=True, f32=True)
 
     def __call__(self, batch, train: bool = False, return_fc1: bool = False):
         out_init, stage_outputs = self.forward_backbone(batch, train)
@@ -257,7 +257,7 @@ class HRNetSeg(HRNetBase):
         fc1 = self.fc1(out)
         fc1 = self.fc1_norm(fc1, batch.masks[0], train)
         fc1 = relu_masked(fc1, batch.masks[0])
-        logits = self.fc2(fc1).astype(jnp.float32)
+        logits = self.fc2(fc1)
         if return_fc1:
             return logits, fc1.astype(jnp.float32)
         return logits
@@ -283,7 +283,7 @@ class HRNetSimCSN(HRNetBase):
             n_head=self.n_head, d_model=self.d_model,
             d_k=self.d_model // self.n_head, d_v=self.d_model // self.n_head,
             dropout=self.attn_dropout, use_flash=self.use_flash)
-        self.out_head = Conv1x1(self.out_channels, use_bias=True)
+        self.out_head = Conv1x1(self.out_channels, use_bias=True, f32=True)
         if self.k_neighbors > 0:
             self.linear_q = nn.Dense(self.d_model, use_bias=False)
             self.linear_k = nn.Dense(self.d_model, use_bias=False)

@@ -110,11 +110,17 @@ class Conv1x1(nn.Module):
 
     features: int
     use_bias: bool = True
+    # f32=True: cast the INPUT up so the whole matmul runs in f32 — for
+    # classifier heads, where bf16 logits (not just a bf16->f32 output cast)
+    # would quantize the margin the CE loss sees.
+    f32: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # compute in the activation dtype (f32 params cast down; MXU
         # accumulates f32 either way)
+        if self.f32:
+            x = x.astype(jnp.float32)
         return nn.Dense(self.features, use_bias=self.use_bias, dtype=x.dtype,
                         kernel_init=nn.initializers.variance_scaling(
                             1.0 / 3.0, "fan_in", "uniform"))(x)

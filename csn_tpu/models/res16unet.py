@@ -68,7 +68,7 @@ class Res16UNetBase(nn.Module):
         self.dec_blocks = tuple(
             self._blocks(P[4 + s], 3 - s, L[4 + s]) for s in range(4)
         )
-        self.final = Conv1x1(self.out_channels, use_bias=True)
+        self.final = Conv1x1(self.out_channels, use_bias=True, f32=True)
 
     def __call__(self, batch, train: bool = False):
         m = batch.masks

@@ -89,7 +89,7 @@ class ResNetBase(nn.Module):
                                         bn_momentum=bm))
             layers.append(tuple(stage))
         self.layers = tuple(layers)
-        self.final = Conv1x1(self.out_channels, use_bias=True)
+        self.final = Conv1x1(self.out_channels, use_bias=True, f32=True)
 
     def __call__(self, batch, train: bool = False):
         m = batch.masks

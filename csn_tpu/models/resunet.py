@@ -74,7 +74,7 @@ class ResUNetBase(nn.Module):
         )
         self.final_fc = Conv1x1(512, use_bias=True)
         self.final_norm = MaskedBatchNorm(momentum=0.1)
-        self.final_out = Conv1x1(self.out_channels, use_bias=True)
+        self.final_out = Conv1x1(self.out_channels, use_bias=True, f32=True)
 
     def __call__(self, batch, train: bool = False):
         m = batch.masks

@@ -143,14 +143,33 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, qmask_ref, out_ref,
                          + jnp.log(jnp.maximum(l_scratch[:, 0], 1e-30)))
 
 
-def weakest_vmem_budget(lqp, dk_dim, dv, block_q, block_k):
+def _check_drop_seed_bounds(lqp: int, lkp: int, block_q: int):
+    """The dropout seed fold (bh*1000003 + qi*769 + kv_chunk) is collision-
+    free only while every q row sees < 769 absolute 128-wide kv chunks
+    (lkp < 769*128 ~ 98k) and the qi term stays under the bh stride. A
+    larger geometry would silently correlate dropout masks across positions
+    (a biased gradient, the exact failure class of the block-raster bug in
+    STATUS.md) — fail loudly instead."""
+    n_chunks = lkp // 128
+    n_qblocks = lqp // block_q
+    if n_chunks >= 769 or n_qblocks * 769 + n_chunks >= 1000003:
+        raise ValueError(
+            f"flash dropout seed folding cannot address this geometry "
+            f"(lkp={lkp} -> {n_chunks} kv chunks, {n_qblocks} q blocks); "
+            f"widen the fold in _drop_mask before running at this scale")
+
+
+def weakest_vmem_budget(lqp, dk_dim, dv, block_q, block_k, n_tmp: int = 5):
     """Scoped-VMEM request for the fused backward: all live buffers with 2x
-    pipelining headroom, floored at the 16 MB default."""
+    pipelining headroom, plus the [block_q, block_k] f32 kernel stack
+    temporaries (s, p, dp, ds, dropout mask — `n_tmp` planes, not double-
+    buffered: they live in the compute stage only), floored at 16 MB."""
     blocks = (block_q * (dk_dim + dv)            # q, do
               + block_k * (dk_dim + dv) * 2      # k, v + dk, dv out
               + 4 * block_q + 2 * block_k        # lse, delta, masks
               + lqp * dk_dim)                    # resident dq plane
-    return max(16 * 1024 * 1024, 4 * blocks * 4 + (1 << 20))
+    tmps = n_tmp * block_q * block_k * 4
+    return max(16 * 1024 * 1024, 4 * blocks * 4 + tmps + (1 << 20))
 
 
 def _pad_to(x, axis, block):
@@ -205,6 +224,8 @@ def _flash_forward(q, k, v, kv_mask, q_mask, temperature: float,
     qf, kf, vf, mp, qmp, block_q, block_k, lqp, lkp = _prep(
         q, k, v, kv_mask, q_mask, block_q, block_k)
     nq, nk = lqp // block_q, lkp // block_k
+    if dropout > 0.0:
+        _check_drop_seed_bounds(lqp, lkp, block_q)
 
     kernel = functools.partial(_fwd_kernel, temperature=temperature,
                                num_k_blocks=nk, dropout=dropout)
@@ -357,6 +378,8 @@ def _flash_backward(q, k, v, kv_mask, q_mask, out, lse, g, temperature: float,
     delta_f = delta_p.reshape(b * h, 1, lqp)
 
     nq, nk = lqp // block_q, lkp // block_k
+    if dropout > 0.0:
+        _check_drop_seed_bounds(lqp, lkp, block_q)
     seed_arr = (jnp.zeros((1, 1), jnp.int32) if seed is None
                 else jnp.asarray(seed, jnp.int32).reshape(1, 1))
 

@@ -7,7 +7,9 @@ category and asserts the train loss falls substantially. Run on TPU:
 
     JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache python scripts/learning_check.py
 
-Flags: --epochs, --dtype float32|bfloat16 (activation dtype A/B).
+Flags: --epochs, --dtype float32|bfloat16 (activation dtype A/B),
+--task csn|seg (seg drives SegTrainer/HRNetSeg2S — the bf16-default
+learning evidence for the plain segmentation path).
 """
 
 import argparse
@@ -26,6 +28,7 @@ def main():
     ap.add_argument("--use_windows", default="auto")
     ap.add_argument("--num_points", type=int, default=2048)
     ap.add_argument("--shapes", type=int, default=16)
+    ap.add_argument("--task", default="csn", choices=["csn", "seg"])
     args = ap.parse_args()
 
     import jax
@@ -39,16 +42,22 @@ def main():
 
     from csn_tpu.config import Config
     from csn_tpu.data.partnet import write_synthetic_partnet
-    from csn_tpu.tasks.main_csn import build_trainer
+
+    if args.task == "seg":
+        from csn_tpu.tasks.main_seg import build_trainer
+        model, k = "HRNetSeg2S", 0
+    else:
+        from csn_tpu.tasks.main_csn import build_trainer
+        model, k = "HRNetSimCSN2S", 1
 
     with tempfile.TemporaryDirectory() as tmp:
         write_synthetic_partnet(tmp, category="Display",
                                 n_train=args.shapes, n_val=4, n_test=4,
                                 num_points=args.num_points)
         cfg = Config(
-            model="HRNetSimCSN2S", partnet_path=tmp,
+            model=model, partnet_path=tmp,
             partnet_category="Display", batch_size=4, val_batch_size=4,
-            test_batch_size=4, k_neighbors=1, conv1_kernel_size=5,
+            test_batch_size=4, k_neighbors=k, conv1_kernel_size=5,
             d_model=64, n_head=2, max_epoch=args.epochs, stat_freq=1000,
             num_points=args.num_points, level_shrink=2.0, seed=0,
             compute_dtype=args.dtype, use_flash=args.use_flash,
@@ -57,7 +66,8 @@ def main():
         ).normalized()
         trainer = build_trainer(cfg)
         trainer.initialize()
-        trainer.construct_shape_graph(recalculate=False)
+        if args.task == "csn":
+            trainer.construct_shape_graph(recalculate=False)
         first, last = None, None
         iters_per_epoch = max(args.shapes // cfg.batch_size, 1)
         for i in range(args.epochs * iters_per_epoch):
@@ -69,8 +79,8 @@ def main():
             if i % (10 * iters_per_epoch) == 0:
                 print(f"iter {i:4d} loss {loss:.4f}", flush=True)
         trainer._close_prefetch()
-    print(f"RESULT dtype={args.dtype} first_loss={first:.4f} "
-          f"last_loss={last:.4f}")
+    print(f"RESULT task={args.task} dtype={args.dtype} "
+          f"first_loss={first:.4f} last_loss={last:.4f}")
     assert last < 0.8 * first, (
         f"train loss did not fall substantially ({first:.3f} -> {last:.3f})")
     print("LEARNING CHECK PASSED")

@@ -13,6 +13,7 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 # RUN_TPU_TESTS=1 runs the hardware test modules (tests/test_flash_tpu.py)
 # against the real TPU instead of the virtual CPU mesh.
@@ -31,3 +32,32 @@ try:
                                      "/tmp/jaxcache"))
 except Exception:
     pass
+
+
+def pytest_collection_modifyitems(session, config, items):
+    """Fail collection if a module defines the same test name twice: Python
+    shadowing makes the first definition silently never run (this bit us —
+    a broken test hid behind a later duplicate for a whole round)."""
+    import ast
+    import collections
+
+    seen_files = set()
+    errors = []
+    for item in items:
+        path = str(getattr(item, "fspath", ""))
+        if not path or path in seen_files or not path.endswith(".py"):
+            continue
+        seen_files.add(path)
+        with open(path) as f:
+            tree = ast.parse(f.read(), filename=path)
+        counts = collections.Counter(
+            node.name for node in ast.walk(tree)
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
+            and node.name.startswith("test"))
+        for name, n in counts.items():
+            if n > 1:
+                errors.append(f"{path}: '{name}' defined {n} times "
+                              f"(earlier definitions are shadowed)")
+    if errors:
+        raise pytest.UsageError("duplicate test names:\n  "
+                                + "\n  ".join(errors))

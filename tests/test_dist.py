@@ -117,7 +117,8 @@ def test_dp_eval_step_matches_single_device():
         np.testing.assert_allclose(out[d], pl, rtol=1e-4, atol=1e-5)
 
 
-def test_sharded_retrieval_matches_single_device():
+def test_sharded_retrieval_partial_masks_four_devices():
+    """4-device mesh + trailing-padded masks (nq not divisible by n_dev)."""
     from csn_tpu.parallel.dp import sharded_retrieval_measure
     from csn_tpu.retrieval.graph import retrieval_measure
 
@@ -129,7 +130,7 @@ def test_sharded_retrieval_matches_single_device():
     qm[2, 8:] = False
     km[1, 5:] = False
     mesh = make_mesh(4)
-    got = sharded_retrieval_measure(q, qm, k, km, mesh, query_block=2)
+    got = sharded_retrieval_measure(q, qm, k, km, mesh)
     ref = retrieval_measure(q, qm, k, km, query_block=2)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
