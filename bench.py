@@ -196,8 +196,17 @@ def main():
     print(f"[bench] host batch build: {host_build_s:.2f}s for 2x{B} shapes; "
           f"voxels/shape: min={min(occ)} max={max(occ)}", file=sys.stderr)
 
-    qb = qb_host.to_jax()
-    kbs = tuple(k.to_jax() for k in kb_hosts[:K])
+    compact = os.environ.get("BENCH_COMPACT_WIRE", "1") == "1"
+    qb = qb_host.to_jax(compact=compact)
+    kbs = tuple(k.to_jax(compact=compact) for k in kb_hosts[:K])
+
+    def tree_bytes(t):
+        return sum(int(x.nbytes) for x in jax.tree_util.tree_leaves(t))
+
+    wire_mb = (tree_bytes(qb) + tree_bytes(kbs)) / 1e6
+    print(f"[bench] host->device wire bytes/batch: {wire_mb:.1f} MB "
+          f"(compact={compact}; BENCH_COMPACT_WIRE=0 for the int32/full "
+          f"layout)", file=sys.stderr)
 
     variables = jax.jit(
         lambda r, b, ks: model.init(r, b, ks, train=False))(
@@ -213,7 +222,7 @@ def main():
             out, new_vars = model.apply(
                 {"params": p, "batch_stats": stats}, qb, kbs, train=True,
                 mutable=["batch_stats"], rngs={"dropout": rng})
-            pl = interpolate_to_points(out, qb.interp_idx, qb.interp_w)
+            pl = interpolate_to_points(out, qb.interp_idx, qb.interp_w, qb.point_to_voxel)
             loss = cross_entropy_ignore(pl, qb.labels, 255, qb.point_mask)
             return loss, new_vars["batch_stats"]
 

@@ -83,10 +83,11 @@ def _conv_impl(feats, kmap, weights, accum_dtype=jnp.float32,
     return out.astype(feats.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def sparse_conv_tvjp(feats, weights, kmap, kmap_t, win_starts, win_starts_t,
                      mirror: bool, win_group: int, win_window: int,
-                     win_window_t: int = 512, input_grad: bool = True):
+                     win_window_t: int = 512, input_grad: bool = True,
+                     win_align: int = 16, win_align_t: int = 16):
     """Sparse conv with an all-gather backward.
 
     Args:
@@ -106,27 +107,30 @@ def sparse_conv_tvjp(feats, weights, kmap, kmap_t, win_starts, win_starts_t,
                this is the forward worklist).
     """
     return _conv_fwd_impl(feats, kmap, weights, win_starts, win_group,
-                          win_window)
+                          win_window, win_align)
 
 
-def _conv_fwd_impl(feats, kmap, weights, win_starts, win_group, win_window):
+def _conv_fwd_impl(feats, kmap, weights, win_starts, win_group, win_window,
+                   win_align=16):
     if win_starts is not None:
         from csn_tpu.core.window_conv import window_conv_fwd
 
         return window_conv_fwd(feats, kmap, win_starts, weights,
-                               group=win_group, window=win_window)
+                               group=win_group, window=win_window,
+                               align=win_align)
     return _conv_impl(feats, kmap, weights)
 
 
 def _tvjp_fwd(feats, weights, kmap, kmap_t, win_starts, win_starts_t, mirror,
-              win_group, win_window, win_window_t, input_grad):
+              win_group, win_window, win_window_t, input_grad, win_align,
+              win_align_t):
     out = _conv_fwd_impl(feats, kmap, weights, win_starts, win_group,
-                         win_window)
+                         win_window, win_align)
     return out, (feats, weights, kmap, kmap_t, win_starts_t)
 
 
-def _tvjp_bwd(mirror, win_group, win_window, win_window_t, input_grad, res,
-              g):
+def _tvjp_bwd(mirror, win_group, win_window, win_window_t, input_grad,
+              win_align, win_align_t, res, g):
     feats, weights, kmap, kmap_t, win_starts_t = res
     g = g.astype(jnp.float32)
     # weight paired with the transpose-map offset k: mirrored for same-level
@@ -143,7 +147,8 @@ def _tvjp_bwd(mirror, win_group, win_window, win_window_t, input_grad, res,
 
         d_feats, d_w_t = window_conv_bwd(
             feats, g, kmap_t, win_starts_t, w_for_t, group=win_group,
-            window=win_window_t, dw_only=not input_grad)
+            window=win_window_t, dw_only=not input_grad,
+            align=win_align_t)
         d_w = d_w_t[::-1] if mirror else d_w_t
         return (d_feats.astype(feats.dtype), d_w.astype(weights.dtype),
                 None, None, None, None)
@@ -185,6 +190,8 @@ def sparse_conv(
     win_window: int = 512,
     win_window_t: int = None,
     input_grad: bool = True,
+    win_align: int = 16,
+    win_align_t: int = None,
     *,
     accum_dtype=jnp.float32,
 ) -> jnp.ndarray:
@@ -202,9 +209,12 @@ def sparse_conv(
             win_starts_t = win_starts
         if win_window_t is None:
             win_window_t = win_window
+        if win_align_t is None:
+            win_align_t = win_align
         return sparse_conv_tvjp(feats, weights, kmap, kmap_t, win_starts,
                                 win_starts_t, mirror, win_group, win_window,
-                                win_window_t, input_grad)
+                                win_window_t, input_grad, win_align,
+                                win_align_t)
     return _conv_impl(feats, kmap, weights, accum_dtype, remat=True)
 
 

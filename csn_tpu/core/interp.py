@@ -15,7 +15,9 @@ import jax.numpy as jnp
 def interpolate_to_points(
     vox_feats: jnp.ndarray,   # [B, L0, C] (or [N0, C] flattened)
     interp_idx: jnp.ndarray,  # [B, P, 8] int32 into flattened B*L0 (sentinel)
+                              # — or int16 wire deltas vs point_to_voxel
     interp_w: jnp.ndarray,    # [B, P, 8] float
+    point_to_voxel: jnp.ndarray = None,  # [B, P] — required for int16 idx
 ) -> jnp.ndarray:
     """Returns [B, P, C] point features."""
     if vox_feats.ndim == 3:
@@ -24,6 +26,16 @@ def interpolate_to_points(
     else:
         flat = vox_feats
         c = flat.shape[-1]
+    if interp_idx.dtype == jnp.int16:
+        # compact wire format (core/pyramid.py to_jax): corner index =
+        # point's own voxel + small delta; sentinel 32767 -> out-of-range
+        # (mode='fill' handles any value >= N)
+        assert point_to_voxel is not None, \
+            "int16 interp_idx needs point_to_voxel to decode"
+        d = interp_idx.astype(jnp.int32)
+        interp_idx = jnp.where(d == 32767, flat.shape[0],
+                               point_to_voxel[..., None].astype(jnp.int32)
+                               + d)
     g = flat.at[interp_idx].get(mode="fill", fill_value=0)  # [B, P, 8, C]
     w = interp_w.astype(g.dtype)
     return jnp.einsum("bpkc,bpk->bpc", g, w)

@@ -28,11 +28,18 @@ def _load() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_SO):
+    src = os.path.join(_CSRC, "coords.cpp")
+    stale = (not os.path.exists(_SO)
+             or (os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_SO)))
+    if stale:
+        # rebuild on source changes too: a stale .so with an old C ABI
+        # would be called with the new argtypes (silent corruption)
         try:
-            subprocess.run(["make", "-C", _CSRC], check=True,
+            subprocess.run(["make", "-C", _CSRC, "-B"], check=True,
                            capture_output=True, timeout=120)
         except Exception:
+            # never load a stale binary against the new argtypes
             return None
     if not os.path.exists(_SO):
         return None
@@ -59,7 +66,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.csn_window_jobs.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)]
+            ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)]
     except AttributeError:  # stale .so without the symbol
         pass
     _LIB = lib
@@ -126,7 +133,7 @@ class NativeShape:
 
 
 def window_jobs_native(kmap: np.ndarray, n_in: int, tile: int, window: int,
-                       group: int, cap: int):
+                       group: int, cap: int, align: int = 16):
     """C++ window-job worklist (csrc csn_window_jobs). Returns the int32
     [5, cap] meta array, -1 on capacity overflow, or None when the native
     engine is unavailable (callers fall back to the numpy builder)."""
@@ -138,7 +145,7 @@ def window_jobs_native(kmap: np.ndarray, n_in: int, tile: int, window: int,
     k, n_out = kmap.shape
     n = lib.csn_window_jobs(
         kmap.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        k, n_out, n_in, tile, window, group, cap,
+        k, n_out, n_in, tile, window, group, cap, align,
         meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     if n < 0:
         return -1

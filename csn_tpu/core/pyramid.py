@@ -153,22 +153,98 @@ class VoxelBatch:
     num_voxels: List[np.ndarray]  # level l: [B] int32 true counts
     dropped: List[int]            # voxels dropped per level due to caps
 
-    def to_jax(self):
+    def to_jax(self, compact: bool = True):
+        """Device pytree. `compact=True` (default) minimizes host->device
+        wire bytes (VERDICT r2 #5 — kernel-map tables dominate the ~46 MB
+        batch): kmaps ship as LOSSLESS int16 deltas against a per-tile
+        linear predictor (decoded on device by the conv layers / concat),
+        and `points`/`coords` — which no device computation reads (they
+        exist for host-side logging/extraction) — are dropped (None)."""
         import jax.numpy as jnp
 
+        B = self.points.shape[0]
+        kmaps = {}
+        for k, v in self.kmaps.items():
+            if compact and not k.startswith("win!"):
+                src_l = _map_levels(k)[0]
+                enc = encode_kmap16(v, B * self.masks[src_l].shape[1])
+                if enc is not None:
+                    kmaps[k] = jnp.asarray(enc)
+                    continue
+            kmaps[k] = jnp.asarray(v)
+        interp_idx = self.interp_idx
+        if compact:
+            # corner index = own voxel + small delta (int16; invariant
+            # under concat — both sides shift by the same batch offset)
+            n0 = B * self.masks[0].shape[1]
+            sent = self.interp_idx >= n0
+            d = (self.interp_idx.astype(np.int64)
+                 - self.point_to_voxel.astype(np.int64)[..., None])
+            p2v_ok = (self.point_to_voxel < n0)[..., None]
+            if bool((sent | (p2v_ok & (d > -32768) & (d < 32767))).all()):
+                interp_idx = np.where(sent, 32767, d).astype(np.int16)
+        # f16 float wire: coords/feats/weights are [-1, 1]-scale values with
+        # ~1e-3 magnitudes at worst — f16 (eps 5e-4) is transparent to the
+        # f32/bf16 compute they are cast into on device
+        def f16(x):
+            return jnp.asarray(np.asarray(x, np.float16)) if compact \
+                else jnp.asarray(x)
+
         return JaxVoxelBatch(
-            points=jnp.asarray(self.points),
-            point_feats=jnp.asarray(self.point_feats),
+            points=None if compact else jnp.asarray(self.points),
+            point_feats=f16(self.point_feats),
             labels=jnp.asarray(self.labels),
             point_mask=jnp.asarray(self.point_mask),
-            coords=tuple(jnp.asarray(c) for c in self.coords),
+            coords=None if compact else tuple(
+                jnp.asarray(c) for c in self.coords),
             masks=tuple(jnp.asarray(m) for m in self.masks),
-            vox_feats=jnp.asarray(self.vox_feats),
-            kmaps={k: jnp.asarray(v) for k, v in self.kmaps.items()},
-            interp_idx=jnp.asarray(self.interp_idx),
-            interp_w=jnp.asarray(self.interp_w),
+            vox_feats=f16(self.vox_feats),
+            kmaps=kmaps,
+            interp_idx=jnp.asarray(interp_idx),
+            interp_w=f16(self.interp_w),
             point_to_voxel=jnp.asarray(self.point_to_voxel),
         )
+
+
+# --- compact kernel-map wire encoding (lossless) ---------------------------
+# kmap values are near-linear in the output row (both sides are spatially
+# sorted), so (value - tile_base) fits int16: HALF the bytes of the dominant
+# transfer. Sentinel n_in maps to the reserved 32767.
+WIRE_TILE = 256          # base granularity (== window_conv.TILE; any works)
+KMAP_SENT16 = 32767
+
+
+def encode_kmap16(kmap: np.ndarray, n_in: int):
+    """int32 [K, n_out] absolute table -> int16 delta table, or None when
+    the geometry's spread exceeds int16 (caller keeps int32; logged)."""
+    K, n_out = kmap.shape
+    st = (WIRE_TILE * n_in) // max(n_out, 1)
+    base = (np.arange(n_out, dtype=np.int64) // WIRE_TILE) * st
+    delta = kmap.astype(np.int64) - base[None, :]
+    sent = kmap >= n_in
+    lo, hi = delta[~sent].min() if (~sent).any() else 0, \
+        delta[~sent].max() if (~sent).any() else 0
+    if lo < -32768 or hi >= KMAP_SENT16:
+        import logging
+
+        logging.warning(
+            "kmap delta range [%d, %d] exceeds int16; keeping int32 "
+            "(one retrace)", lo, hi)
+        return None
+    return np.where(sent, KMAP_SENT16, delta).astype(np.int16)
+
+
+def decode_kmap(kmap, n_in: int):
+    """Traced inverse of encode_kmap16 (identity for int32 tables)."""
+    import jax.numpy as jnp
+
+    if kmap.dtype != jnp.int16:
+        return kmap
+    n_out = kmap.shape[1]
+    st = (WIRE_TILE * n_in) // max(n_out, 1)
+    base = (jnp.arange(n_out, dtype=jnp.int32) // WIRE_TILE) * st
+    k = kmap.astype(jnp.int32)
+    return jnp.where(k == KMAP_SENT16, n_in, k + base[None, :])
 
 
 try:
@@ -177,13 +253,17 @@ try:
 
     @_struct.dataclass
     class JaxVoxelBatch:
-        """Device-side pytree mirror of VoxelBatch (no host bookkeeping)."""
+        """Device-side pytree mirror of VoxelBatch (no host bookkeeping).
 
-        points: _jnp.ndarray
+        `points`/`coords` are None under the compact wire format (device
+        compute never reads them); kmaps may be int16 wire tables — conv
+        layers and concat_jax_batches decode via `decode_kmap`."""
+
+        points: Optional[_jnp.ndarray]
         point_feats: _jnp.ndarray
         labels: _jnp.ndarray
         point_mask: _jnp.ndarray
-        coords: Tuple[_jnp.ndarray, ...]
+        coords: Optional[Tuple[_jnp.ndarray, ...]]
         masks: Tuple[_jnp.ndarray, ...]
         vox_feats: _jnp.ndarray
         kmaps: Dict[str, _jnp.ndarray]
@@ -193,7 +273,7 @@ try:
 
         @property
         def batch_size(self) -> int:
-            return self.points.shape[0]
+            return self.point_mask.shape[0]
 
         def level_feat_shape(self, level: int) -> Tuple[int, int]:
             return self.masks[level].shape
@@ -276,30 +356,56 @@ def concat_jax_batches(batches: Sequence["JaxVoxelBatch"]) -> "JaxVoxelBatch":
                     name, bs, caps[dst_l], TILE, TILE)
                 continue
             parts = []
+            row4_parts = []
+            col_off = 0
             for g, b in enumerate(batches):
                 m = b.kmaps[name]
                 t_off = int(cum[g]) * caps[dst_l] // TILE
                 s_off = int(cum[g]) * caps[src_l]
                 parts.append(jnp.stack([m[0] + t_off, m[1], m[2] + s_off,
                                         m[3], m[4]]))
-            kmaps[name] = jnp.concatenate(parts, axis=1)
+                # row 4 = per-tile job COLUMN ranges (tile-grid kernels):
+                # batch g's columns shift by its meta-column offset; the
+                # final terminator (n_jobs of the LAST batch + its offset)
+                # caps the visited/prefetched range
+                nt_g = bs[g] * caps[dst_l] // TILE
+                r4 = m[4]
+                if g + 1 < len(batches):
+                    row4_parts.append(r4[:nt_g] + col_off)
+                else:
+                    row4_parts.append(jnp.concatenate(
+                        [r4[:nt_g], r4[nt_g:nt_g + 1]]) + col_off)
+                col_off += m.shape[1]
+            combined = jnp.concatenate(parts, axis=1)
+            row4 = jnp.concatenate(row4_parts)
+            row4 = jnp.pad(row4, (0, combined.shape[1] - row4.shape[0]))
+            kmaps[name] = combined.at[4].set(row4)
         else:
+            # int16 wire tables decode BEFORE the index-space remap (the
+            # concat offsets exceed int16)
             src_l = _map_levels(name)[0]
-            kmaps[name] = remap_cat([b.kmaps[name] for b in batches], src_l,
-                                    axis=1)
+            kmaps[name] = remap_cat(
+                [decode_kmap(b.kmaps[name], bs[g] * caps[src_l])
+                 for g, b in enumerate(batches)], src_l, axis=1)
 
     return JaxVoxelBatch(
-        points=cat(lambda b: b.points),
+        points=None if b0.points is None else cat(lambda b: b.points),
         point_feats=cat(lambda b: b.point_feats),
         labels=cat(lambda b: b.labels),
         point_mask=cat(lambda b: b.point_mask),
-        coords=tuple(jnp.concatenate([b.coords[l] for b in batches], axis=0)
-                     for l in range(nl)),
+        coords=None if b0.coords is None else tuple(
+            jnp.concatenate([b.coords[l] for b in batches], axis=0)
+            for l in range(nl)),
         masks=tuple(jnp.concatenate([b.masks[l] for b in batches], axis=0)
                     for l in range(nl)),
         vox_feats=cat(lambda b: b.vox_feats),
         kmaps=kmaps,
-        interp_idx=remap_cat([b.interp_idx for b in batches], 0, axis=0),
+        # int16 interp deltas are offset-invariant (delta vs own voxel);
+        # absolute int32 tables need the index-space remap
+        interp_idx=(cat(lambda b: b.interp_idx)
+                    if b0.interp_idx.dtype == jnp.int16
+                    else remap_cat([b.interp_idx for b in batches], 0,
+                                   axis=0)),
         interp_w=cat(lambda b: b.interp_w),
         point_to_voxel=remap_cat([b.point_to_voxel for b in batches], 0,
                                  axis=0),
@@ -620,7 +726,8 @@ def build_voxel_batch(
         # overflowing the static job capacity disables windows for the whole
         # batch (gather fallback — one retrace; logged).
         from csn_tpu.core.window_conv import (
-            WindowOverflow, cap_mult_for_map, window_for_map, window_jobs,
+            WindowOverflow, align_for_map, cap_mult_for_map, window_for_map,
+            window_jobs,
         )
 
         try:
@@ -632,7 +739,8 @@ def build_voxel_batch(
                 n_in = B * spec.level_caps[src_l]
                 win["win!" + m.name] = window_jobs(
                     kmaps[m.name], n_in, window=window_for_map(m.name),
-                    group=m.ksize ** 2, cap_mult=cap_mult_for_map(m.name))
+                    group=m.ksize ** 2, cap_mult=cap_mult_for_map(m.name),
+                    align=align_for_map(m.name))
             kmaps.update(win)
         except WindowOverflow as e:  # pragma: no cover - rare geometry
             import logging

@@ -52,6 +52,66 @@ TILE = 256          # output rows per job
 WINDOW = 512        # default source rows DMA'd per job
 
 
+def _ceil8(c: int) -> int:
+    return max(8, -(-c // 8) * 8)
+
+
+def pack_enabled() -> bool:
+    """Lane-packed windows are a MEASURED NEGATIVE RESULT, kept as an
+    opt-in experiment (CSN_PACK=1) with full parity tests.
+
+    Measured on v5e (B=16 combined scale, /tmp-series recorded in
+    STATUS.md): packed kernels are uniformly SLOWER despite 1.6-2x fewer
+    gather MACs — same0k3 64->64 fwd 3.41 -> 4.45 ms, 32->64 fwd
+    3.41 -> 4.48 ms, k5 stem 3->32 fwd 10.5 -> 18.2 ms; end-to-end step
+    264 -> 314 ms. Cause: the gather matmul's output is 128-lane
+    quantized, so at C <= 128 its cost is already near the T*128*128
+    floor; the MAC savings are small, while the per-offset post-gather
+    lane-group select (iota/compare/bitcast/multiply on [T, 128]) adds
+    more VPU time than the MXU time saved. The one-hot windowed conv's
+    remaining budget is per-job machinery + VPU, not MXU flops."""
+    import os
+
+    return os.environ.get("CSN_PACK", "0") == "1"
+
+
+def pack_of(width: int) -> int:
+    """Lane-packing factor for a channel width: p consecutive source rows
+    are packed into the 128-lane dimension (p * ceil8(width) == 128), so the
+    one-hot gather matmul contracts over W/p packed rows instead of W.
+    Non-power-of-two padded widths don't pack (p=1, legacy layout).
+    See `pack_enabled` for why this is off by default."""
+    c = _ceil8(width)
+    if c > 128 or (c & (c - 1)):
+        return 1
+    return min(16, 128 // c)
+
+
+def align_for_map(name: str) -> int:
+    """Window-start alignment (source rows) for a map's job worklist. With
+    lane packing enabled, starts must be multiples of 16*pack so the PACKED
+    bf16 window slice stays sublane-tile-aligned for every packing its
+    users choose: k3 maps serve widths >= 32 (p <= 4 -> 64); the k5 stem
+    gathers the 3-channel input (p = 16 -> 256). Without packing, plain
+    bf16 sublane alignment (16) maximizes window coverage."""
+    if not pack_enabled():
+        return 16
+    ksize = int(name.rsplit("k", 1)[1])
+    return 256 if ksize >= 5 else 64
+
+
+def runtime_pack(width: int, window: int, align: int) -> int:
+    """Packing factor actually usable by a kernel call: bounded by the
+    channel width, the meta's start alignment, and W % (16p) == 0 (the
+    packed window W/p must stay a bf16 sublane multiple)."""
+    if not pack_enabled():
+        return 1
+    p = min(pack_of(width), max(align // 16, 1))
+    while p > 1 and window % (16 * p):
+        p //= 2
+    return max(p, 1)
+
+
 def window_for_map(name: str) -> int:
     """Per-map window width. Must be a multiple of 128: W is the CONTRACTION
     dim of the one-hot gather matmul, and the MXU pads it to 128-lane tiles
@@ -69,6 +129,8 @@ def window_for_map(name: str) -> int:
     dominates at these scales: the best widths MINIMIZE JOB COUNT, not the
     work product. Measured end-to-end: narrower-than-necessary widths lose
     (294 -> 278 ms regression when down/up went 512/384 -> 256/128)."""
+    if "k5" in name and pack_enabled():
+        return 512   # stem under packing: align 256 demands W % 256 == 0
     if name.startswith("up"):
         return 384
     if name.startswith("down"):
@@ -81,7 +143,10 @@ def cap_mult_for_map(name: str) -> float:
     maps legitimately need ~2.7 windows per (tile, group) at W=256; padded
     slots are near-free (inactive jobs skip DMA + compute)."""
     return 4.0 if name.startswith("down") else 2.0
-META_ROWS = 5       # tiles | groups | starts | flags | (reserved)
+META_ROWS = 5       # tiles | groups | starts | flags | per-tile job offsets
+                    # row 4: [lo_0 .. lo_{nt-1}, n_jobs, 0...] — job index
+                    # ranges per output tile (jobs are tile-sorted), used by
+                    # the tile-grid kernels; cap >= n_tiles + 1 always holds
 
 F_FIRST = 1         # flags bit: first job of its output tile (init acc)
 F_LAST = 2          # flags bit: last job of its tile (write out)
@@ -94,7 +159,7 @@ class WindowOverflow(ValueError):
 
 def window_jobs(kmap: np.ndarray, n_in: int, tile: int = TILE,
                 window: int = WINDOW, group: int = 9,
-                cap_mult: float = 1.25) -> np.ndarray:
+                cap_mult: float = 1.25, align: int = 16) -> np.ndarray:
     """Build the job worklist for one kernel map.
 
     kmap: [K, n_out] int32 source indices (sentinel >= n_in), n_out % tile
@@ -110,12 +175,16 @@ def window_jobs(kmap: np.ndarray, n_in: int, tile: int = TILE,
     K, n_out = kmap.shape
     if K % group != 0:
         raise WindowOverflow(f"K={K} not divisible by group={group}")
+    if window % align:
+        raise WindowOverflow(f"window={window} not a multiple of "
+                             f"align={align}")
     n_tiles0 = -(-n_out // tile)
     cap0 = int(np.ceil(cap_mult * n_tiles0 * (K // group) / 64.0) * 64) + 64
     try:  # C++ fast path (bit-identical to the numpy builder below)
         from csn_tpu.core import native
 
-        m = native.window_jobs_native(kmap, n_in, tile, window, group, cap0)
+        m = native.window_jobs_native(kmap, n_in, tile, window, group, cap0,
+                                      align)
     except Exception:
         m = None
     if m is not None:
@@ -137,10 +206,11 @@ def window_jobs(kmap: np.ndarray, n_in: int, tile: int = TILE,
     valid = t < n_in
     big = np.where(valid, t, np.iinfo(np.int32).max)
     small = np.where(valid, t, -1)
-    # Window starts are aligned DOWN to bf16-sublane multiples (16): the
-    # kernels DMA bf16 windows, whose (16, 128) tiling Mosaic must prove the
-    # dynamic slice start divisible by.
-    lo = (big.min(axis=(1, 3)) >> 4) << 4     # [ng, n_tiles]
+    # Window starts are aligned DOWN to `align` (16 * max packing): the
+    # kernels DMA bf16 windows — possibly lane-packed p rows at a time —
+    # whose (16, 128) tiling Mosaic must prove the dynamic slice start
+    # (in PACKED rows, start/p) divisible by 16.
+    lo = (big.min(axis=(1, 3)) // align) * align   # [ng, n_tiles]
     hi = small.max(axis=(1, 3))
     any_v = valid.any(axis=(1, 3))
     fits = any_v & (hi - lo < window)
@@ -153,17 +223,18 @@ def window_jobs(kmap: np.ndarray, n_in: int, tile: int = TILE,
     jobs_g.append(gi.astype(np.int64))
     jobs_s.append(lo[fits].astype(np.int64))
     # greedy multi-window jobs for the (rare) overflowing (group, tile)s.
-    # Starts stay 8-aligned AND windows stay disjoint (window itself is a
-    # multiple of 8, and each next start is clamped to the previous window's
-    # end) so no source row ever matches two windows (no double counting).
-    assert window % 16 == 0
+    # Starts stay aligned AND windows stay disjoint (window itself is a
+    # multiple of align, and each next start is clamped to the previous
+    # window's end) so no source row ever matches two windows (no double
+    # counting).
+    assert window % align == 0 and window % 16 == 0
     for g, ti_ in zip(*np.nonzero(over)):
         srcs = np.unique(t[g, :, ti_][valid[g, :, ti_]])
-        start = (int(srcs[0]) >> 4) << 4
+        start = (int(srcs[0]) // align) * align
         starts = [start]
         for s in srcs:
             if s >= start + window:
-                start = max((int(s) >> 4) << 4, start + window)
+                start = max((int(s) // align) * align, start + window)
                 starts.append(start)
         jobs_t.append(np.full(len(starts), ti_, np.int64))
         jobs_g.append(np.full(len(starts), g, np.int64))
@@ -173,14 +244,15 @@ def window_jobs(kmap: np.ndarray, n_in: int, tile: int = TILE,
     js = np.concatenate(jobs_s) if jobs_s else np.empty(0, np.int64)
 
     # every output tile needs >= 1 job (zero-init + write): dummy job with
-    # start = n_in gathers nothing (valid-row mask kills sentinels)
+    # start = 0 (always aligned) gathers nothing — a tile only lacks jobs
+    # when it has NO valid kmap entries, so the one-hot has zero hits
     covered = np.zeros(n_tiles, bool)
     covered[np.unique(jt)] = True
     missing = np.nonzero(~covered)[0]
     if missing.size:
         jt = np.concatenate([jt, missing])
         jg = np.concatenate([jg, np.zeros(missing.size, np.int64)])
-        js = np.concatenate([js, np.full(missing.size, n_in, np.int64)])
+        js = np.concatenate([js, np.zeros(missing.size, np.int64)])
 
     n_jobs = jt.shape[0]
     if n_jobs > cap:
@@ -203,11 +275,13 @@ def window_jobs(kmap: np.ndarray, n_in: int, tile: int = TILE,
     meta[1, :n_jobs] = jg
     meta[2, :n_jobs] = js
     meta[3, :n_jobs] = flags
+    meta[4, :n_tiles] = np.searchsorted(jt, np.arange(n_tiles))
+    meta[4, n_tiles] = n_jobs
     # padding jobs: inactive, point at the last tile (keeps the out-block
-    # index valid and unchanged so nothing is flushed or re-fetched)
+    # index valid and unchanged so nothing is flushed or re-fetched);
+    # start 0 (aligned; never DMA'd but kept provably in-bounds)
     if n_jobs < cap:
         meta[0, n_jobs:] = jt[-1] if n_jobs else 0
-        meta[2, n_jobs:] = n_in
     return meta
 
 
@@ -216,20 +290,47 @@ def window_jobs(kmap: np.ndarray, n_in: int, tile: int = TILE,
 # ---------------------------------------------------------------------------
 
 
-def _onehot_tile(rows, start, n_in, window):
-    """[TILE, window] bf16 one-hot of (rows - start), invalid rows zeroed.
+def _onehot_tile(rows, start, n_in, window, pack: int = 1):
+    """[TILE, window//pack] bf16 one-hot of (rows - start) >> log2(pack),
+    invalid rows zeroed. With pack > 1 the window holds `pack` source rows
+    per 128-lane packed row, so the one-hot selects the PACKED row (the
+    in-pack position is resolved by a lane-group mask after the matmul).
 
-    Built as float BITS via integer ops + bitcast: an i1->bf16 select trips a
-    Mosaic relayout limitation, and any int->float convert downstream of an
-    iota gets canonicalized into an (invalid) f32 iota.
+    Built as float BITS via integer ops + bitcast: an i1->bf16 select trips
+    a Mosaic relayout limitation, and any int->float convert downstream of
+    an iota gets canonicalized into an (invalid) f32 iota. An all-bf16
+    compare (constant bf16 column ramps, no bitcast/relayout) was tried and
+    is INEXPRESSIBLE on v5e: Mosaic rejects 16-bit vector compares
+    ("Target does not support this comparison"). Validity is folded into
+    `rel` as a [T]-vector op (invalid rows -> -1, matching no column), so
+    the [T, W]-sized work is one compare-select + bitcast + downcast.
     """
-    rel = rows - start
-    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE, window), 1)
+    rel = jnp.where(rows < n_in, rows - start, -1)
+    if pack > 1:
+        # arithmetic shift: negative rel -> negative col (no iota match);
+        # rel >= window -> col >= window//pack (no match)
+        rel = rel >> int(pack).bit_length() - 1
+    ncols = window // pack
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE, ncols), 1)
     one_bits = jnp.int32(0x3F800000)  # bits of 1.0f
     hit = jnp.where(rel[:, None] == cols, one_bits, 0)
-    valid_row = jnp.where(rows < n_in, one_bits, 0)
-    return pltpu.bitcast(hit & valid_row[:, None],
-                         jnp.float32).astype(jnp.bfloat16)
+    return pltpu.bitcast(hit, jnp.float32).astype(jnp.bfloat16)
+
+
+def _lane_select(gthr, rows, start, pack: int, c_pack: int):
+    """Zero every lane group except the one holding (rows - start) % pack.
+
+    After the packed one-hot gather, row t of `gthr` [TILE, pack*c_pack]
+    holds the whole pack of `pack` source rows; only lane group
+    (rel & (pack-1)) is t's actual source. Rows with no one-hot hit are
+    already all-zero, so their (meaningless) group index is harmless."""
+    rel = rows - start
+    grp = rel & (pack - 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, pack * c_pack), 1)
+    lane = lane >> int(c_pack).bit_length() - 1  # // c_pack (pow2)
+    one_bits = jnp.int32(0x3F800000)
+    sel = jnp.where(lane == grp[:, None], one_bits, 0)
+    return gthr * pltpu.bitcast(sel, jnp.float32)
 
 
 def _dot(a, b, dims):
@@ -243,15 +344,15 @@ def _dot(a, b, dims):
 def _wjobs_fwd_kernel(meta_ref, kmap_ref, feats_hbm, w_ref, out_ref,
                       win_scratch, sem, *,
                       group: int, window: int, n_in: int, cap: int,
-                      nbuf: int):
+                      nbuf: int, pack: int, c_pack: int):
     j = pl.program_id(0)
 
     def dma(slot, jj):
-        # window_jobs aligns starts to bf16-sublane multiples; Mosaic needs
-        # the hint to prove the dynamic HBM slice is tile-aligned
-        start = pl.multiple_of(meta_ref[2 * cap + jj], 16)
+        # window_jobs aligns starts to 16*pack; Mosaic needs the hint to
+        # prove the dynamic HBM slice (in PACKED rows) is tile-aligned
+        start = pl.multiple_of(meta_ref[2 * cap + jj] // pack, 16)
         return pltpu.make_async_copy(
-            feats_hbm.at[pl.ds(start, window), :],
+            feats_hbm.at[pl.ds(start, window // pack), :],
             win_scratch.at[slot], sem.at[slot])
 
     flags = meta_ref[3 * cap + j]
@@ -284,8 +385,11 @@ def _wjobs_fwd_kernel(meta_ref, kmap_ref, feats_hbm, w_ref, out_ref,
 
         def body(i, _):
             k = g * group + i
-            onehot = _onehot_tile(kmap_ref[k, :], start, n_in, window)
-            gthr = _dot(onehot, win_bf, ((1,), (0,)))          # [T, C]
+            rows = kmap_ref[k, :]
+            onehot = _onehot_tile(rows, start, n_in, window, pack)
+            gthr = _dot(onehot, win_bf, ((1,), (0,)))   # [T, pack*c_pack]
+            if pack > 1:
+                gthr = _lane_select(gthr, rows, start, pack, c_pack)
             out_ref[...] += _dot(gthr.astype(jnp.bfloat16), w_ref[k],
                                  ((1,), (0,)))                 # [T, Cout]
             return ()
@@ -296,19 +400,22 @@ def _wjobs_fwd_kernel(meta_ref, kmap_ref, feats_hbm, w_ref, out_ref,
 def _wjobs_bwd_kernel(meta_ref, kmap_ref, f_tile_ref, g_hbm, wt_ref,
                       dfeats_ref, dw_ref, win_scratch, sem, *,
                       group: int, window: int, n_in: int,
-                      cap: int, nbuf: int, dw_only: bool = False):
+                      cap: int, nbuf: int, pack: int, c_pack: int,
+                      dw_only: bool = False):
     """d_feats tile + fused dW: gg = onehot @ g_window serves both
     d_feats += gg @ W_pair^T and dW_t[k] += f_tile^T @ gg. Both outputs are
     accumulated directly in their VMEM-resident out blocks (dW's block index
-    is constant, so it stays resident for the whole grid)."""
+    is constant, so it stays resident for the whole grid). With pack > 1 the
+    g window is lane-packed; dW accumulates in packed-lane layout
+    [Cin, pack*c_pack] and the wrapper folds the pack groups."""
     j = pl.program_id(0)
 
     def dma(slot, jj):
-        # window_jobs aligns starts to sublane multiples; Mosaic needs the
-        # hint to prove the dynamic HBM slice is tile-aligned
-        start = pl.multiple_of(meta_ref[2 * cap + jj], 16)
+        # window_jobs aligns starts to 16*pack; Mosaic needs the hint to
+        # prove the dynamic HBM slice (in PACKED rows) is tile-aligned
+        start = pl.multiple_of(meta_ref[2 * cap + jj] // pack, 16)
         return pltpu.make_async_copy(
-            g_hbm.at[pl.ds(start, window), :],
+            g_hbm.at[pl.ds(start, window // pack), :],
             win_scratch.at[slot], sem.at[slot])
 
     flags = meta_ref[3 * cap + j]
@@ -344,16 +451,152 @@ def _wjobs_bwd_kernel(meta_ref, kmap_ref, f_tile_ref, g_hbm, wt_ref,
 
         def body(i, _):
             k = g * group + i
-            onehot = _onehot_tile(kmap_ref[k, :], start, n_in, window)
-            gg = _dot(onehot, win_bf, ((1,), (0,)))            # [T, Cout]
+            rows = kmap_ref[k, :]
+            onehot = _onehot_tile(rows, start, n_in, window, pack)
+            gg = _dot(onehot, win_bf, ((1,), (0,)))   # [T, pack*c_pack]
+            if pack > 1:
+                gg = _lane_select(gg, rows, start, pack, c_pack)
             ggb = gg.astype(jnp.bfloat16)
             if not dw_only:
                 dfeats_ref[...] += _dot(ggb, wt_ref[k],
                                         ((1,), (0,)))          # [T, Cin]
-            dw_ref[k, :, :] += _dot(f_bf, ggb, ((0,), (0,)))   # [Cin, Cout]
+            dw_ref[k, :, :] += _dot(f_bf, ggb, ((0,), (0,)))
             return ()
 
         jax.lax.fori_loop(0, group, body, (), unroll=True)
+
+
+def tile_grid_enabled() -> bool:
+    """Tile-grid kernels (one grid step per OUTPUT TILE, inner dynamic loop
+    over that tile's jobs): the kmap block and out block are loaded/flushed
+    once per tile instead of once per job, padding jobs vanish from the
+    grid, and per-grid-step machinery amortizes over ~3 jobs.
+    CSN_TILE_GRID=0 falls back to the one-job-per-step kernels."""
+    import os
+
+    return os.environ.get("CSN_TILE_GRID", "1") != "0"
+
+
+def _tile_fwd_kernel(meta_ref, kmap_ref, feats_hbm, w_ref, out_ref,
+                     win_scratch, sem, *,
+                     group: int, window: int, n_in: int, cap: int,
+                     nbuf: int, pack: int, c_pack: int, n_tiles: int):
+    t = pl.program_id(0)
+    # row 4 column ranges PARTITION the meta columns across tiles (padding
+    # columns belong to the last tile of their batch segment after concat),
+    # so slot parity j % nbuf is globally consistent. Start/wait guards
+    # mirror the one-job-per-step kernel: a DMA is started iff its job is
+    # active, and waited before compute, so no started DMA outlives its
+    # slot's reuse.
+    lo = meta_ref[4 * cap + t]
+    hi = meta_ref[4 * cap + t + 1]
+
+    def dma(slot, jj):
+        start = pl.multiple_of(meta_ref[2 * cap + jj] // pack, 16)
+        return pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(start, window // pack), :],
+            win_scratch.at[slot], sem.at[slot])
+
+    def active(jj):
+        return (meta_ref[3 * cap + jj] & F_ACTIVE) != 0
+
+    @pl.when((t == 0) & active(0))
+    def _():
+        dma(0, 0).start()
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    def job_body(j, _):
+        @pl.when(jnp.logical_and(j + 1 < meta_ref[4 * cap + n_tiles],
+                                 active(j + 1)))
+        def _():
+            dma((j + 1) % nbuf, j + 1).start()
+
+        @pl.when(active(j))
+        def _():
+            dma(j % nbuf, j).wait()
+            start = meta_ref[2 * cap + j]
+            g = meta_ref[cap + j]
+            win_bf = win_scratch[j % nbuf].astype(jnp.bfloat16)
+
+            def body(i, _):
+                k = g * group + i
+                rows = kmap_ref[k, :]
+                onehot = _onehot_tile(rows, start, n_in, window, pack)
+                gthr = _dot(onehot, win_bf, ((1,), (0,)))
+                if pack > 1:
+                    gthr = _lane_select(gthr, rows, start, pack, c_pack)
+                out_ref[...] += _dot(gthr.astype(jnp.bfloat16), w_ref[k],
+                                     ((1,), (0,)))
+                return ()
+
+            jax.lax.fori_loop(0, group, body, (), unroll=True)
+
+        return ()
+
+    jax.lax.fori_loop(lo, hi, job_body, ())
+
+
+def _tile_bwd_kernel(meta_ref, kmap_ref, f_tile_ref, g_hbm, wt_ref,
+                     dfeats_ref, dw_ref, win_scratch, sem, *,
+                     group: int, window: int, n_in: int, cap: int,
+                     nbuf: int, pack: int, c_pack: int, n_tiles: int,
+                     dw_only: bool = False):
+    t = pl.program_id(0)
+    lo = meta_ref[4 * cap + t]
+    hi = meta_ref[4 * cap + t + 1]
+
+    def dma(slot, jj):
+        start = pl.multiple_of(meta_ref[2 * cap + jj] // pack, 16)
+        return pltpu.make_async_copy(
+            g_hbm.at[pl.ds(start, window // pack), :],
+            win_scratch.at[slot], sem.at[slot])
+
+    def active(jj):
+        return (meta_ref[3 * cap + jj] & F_ACTIVE) != 0
+
+    @pl.when(t == 0)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+        @pl.when(active(0))
+        def _():
+            dma(0, 0).start()
+
+    dfeats_ref[...] = jnp.zeros_like(dfeats_ref)
+
+    def job_body(j, _):
+        @pl.when(jnp.logical_and(j + 1 < meta_ref[4 * cap + n_tiles],
+                                 active(j + 1)))
+        def _():
+            dma((j + 1) % nbuf, j + 1).start()
+
+        @pl.when(active(j))
+        def _():
+            dma(j % nbuf, j).wait()
+            start = meta_ref[2 * cap + j]
+            g = meta_ref[cap + j]
+            win_bf = win_scratch[j % nbuf].astype(jnp.bfloat16)
+            f_bf = f_tile_ref[...].astype(jnp.bfloat16)
+
+            def body(i, _):
+                k = g * group + i
+                rows = kmap_ref[k, :]
+                onehot = _onehot_tile(rows, start, n_in, window, pack)
+                gg = _dot(onehot, win_bf, ((1,), (0,)))
+                if pack > 1:
+                    gg = _lane_select(gg, rows, start, pack, c_pack)
+                ggb = gg.astype(jnp.bfloat16)
+                if not dw_only:
+                    dfeats_ref[...] += _dot(ggb, wt_ref[k], ((1,), (0,)))
+                dw_ref[k, :, :] += _dot(f_bf, ggb, ((0,), (0,)))
+                return ()
+
+            jax.lax.fori_loop(0, group, body, (), unroll=True)
+
+        return ()
+
+    jax.lax.fori_loop(lo, hi, job_body, ())
 
 
 # ---------------------------------------------------------------------------
@@ -361,13 +604,30 @@ def _wjobs_bwd_kernel(meta_ref, kmap_ref, f_tile_ref, g_hbm, wt_ref,
 # ---------------------------------------------------------------------------
 
 
-def _pad_feats(feats, window):
-    """Pad channels to a lane multiple and rows by `window` so any window
-    start <= n_in stays in bounds (padding rows are zeros -> sentinel hits
-    contribute nothing). Cast to bf16 ONCE here: the in-kernel matmuls
+def _pad_feats(feats, window, pack: int = 1):
+    """Pad channels and rows, cast to bf16 ONCE (the in-kernel matmuls
     consume bf16 operands anyway, so DMA'ing bf16 windows halves the bytes
-    and drops the per-job cast with identical numerics."""
+    with identical numerics), and — when pack > 1 — fold `pack` consecutive
+    rows into the 128-lane dim: row-major reshape [R, c] -> [R/pack,
+    pack*c] puts orig row (i*pack + k) at packed row i, lane group k.
+    Rows are padded by `window` (+ pack remainder) so any aligned window
+    start <= n_in stays in bounds; padding rows are zeros, so sentinel /
+    out-of-range hits contribute nothing.
+
+    Returns (padded-or-packed array, c_pack): for pack == 1, c_pack is the
+    128-multiple contraction width (legacy layout); for pack > 1 it is the
+    8-multiple per-row width inside each lane group."""
     n_in, cin = feats.shape
+    if pack > 1:
+        # per-row width 128//pack: the packed array is EXACTLY 128 lanes
+        # wide (Mosaic can only slice HBM at 128-lane granularity)
+        cp = 128 // pack
+        assert cp >= cin, (cin, pack)
+        rows = n_in + window
+        rpad = (-rows) % pack
+        f = jnp.pad(feats, ((0, window + rpad),
+                            (0, cp - cin))).astype(jnp.bfloat16)
+        return f.reshape((rows + rpad) // pack, pack * cp), cp
     cpad = (-cin) % 128
     return (jnp.pad(feats, ((0, window), (0, cpad))).astype(jnp.bfloat16),
             cin + cpad)
@@ -381,31 +641,54 @@ def _pad_kmap(kmap, n_in, tile=TILE):
 
 
 def window_conv_fwd(feats, kmap, meta, weights, *, group: int,
-                    window: int = WINDOW, nbuf: int = 2):
+                    window: int = WINDOW, nbuf: int = 2, align: int = 16):
     """feats [N_in, Cin], kmap [K, N_out], meta [META_ROWS, J], weights
-    [K, Cin, Cout] -> [N_out, Cout]."""
-    n_in, _ = feats.shape
+    [K, Cin, Cout] -> [N_out, Cout]. `align` must match the worklist's
+    start alignment (window_jobs align=): it bounds the lane packing."""
+    n_in, cin = feats.shape
     K, n_out = kmap.shape
     cout = weights.shape[-1]
-    feats_p, cin_p = _pad_feats(feats, window)
+    pack = runtime_pack(cin, window, align)
+    feats_p, c_pack = _pad_feats(feats, window, pack)
     kmap_p, opad = _pad_kmap(kmap, n_in)
-    w_p = jnp.pad(weights, ((0, 0), (0, cin_p - weights.shape[1]),
-                            (0, 0))).astype(jnp.bfloat16)
+    if pack > 1:
+        # replicate the (channel-padded) weights once per lane group: the
+        # post-gather lane mask zeroes every group but the source's, so
+        # masked @ tiled-W == gathered-row @ W
+        w_p = jnp.tile(jnp.pad(weights, ((0, 0), (0, c_pack - cin), (0, 0))),
+                       (1, pack, 1)).astype(jnp.bfloat16)
+    else:
+        w_p = jnp.pad(weights, ((0, 0), (0, c_pack - cin),
+                                (0, 0))).astype(jnp.bfloat16)
     cap = meta.shape[-1]
 
-    kern = functools.partial(_wjobs_fwd_kernel, group=group, window=window,
-                             n_in=n_in, cap=cap, nbuf=nbuf)
+    n_tiles = (n_out + opad) // TILE
+    if tile_grid_enabled():
+        kern = functools.partial(_tile_fwd_kernel, group=group,
+                                 window=window, n_in=n_in, cap=cap,
+                                 nbuf=nbuf, pack=pack, c_pack=c_pack,
+                                 n_tiles=n_tiles)
+        grid = (n_tiles,)
+        kmap_spec = pl.BlockSpec((K, TILE), lambda t, m: (0, t))
+        out_spec = pl.BlockSpec((TILE, cout), lambda t, m: (t, 0))
+    else:
+        kern = functools.partial(_wjobs_fwd_kernel, group=group,
+                                 window=window, n_in=n_in, cap=cap,
+                                 nbuf=nbuf, pack=pack, c_pack=c_pack)
+        grid = (cap,)
+        kmap_spec = pl.BlockSpec((K, TILE), lambda j, m: (0, m[j]))
+        out_spec = pl.BlockSpec((TILE, cout), lambda j, m: (m[j], 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(cap,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((K, TILE), lambda j, m: (0, m[j])),
+            kmap_spec,
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE, cout), lambda j, m: (m[j], 0)),
+        out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((nbuf, window, cin_p), jnp.bfloat16),
+            pltpu.VMEM((nbuf, window // pack, pack * c_pack), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )
@@ -420,7 +703,7 @@ def window_conv_fwd(feats, kmap, meta, weights, *, group: int,
 
 def window_conv_bwd(feats, g, kmap_t, meta, weights_pair, *, group: int,
                     window: int = WINDOW, nbuf: int = 2,
-                    dw_only: bool = False):
+                    dw_only: bool = False, align: int = 16):
     """Fused backward for a same-level windowed conv.
 
     feats [N, Cin] (forward input), g [N, Cout] (upstream grad), kmap_t
@@ -429,42 +712,65 @@ def window_conv_bwd(feats, g, kmap_t, meta, weights_pair, *, group: int,
     (d_feats [N, Cin], d_w_t [K, Cin, Cout]) with d_w_t in transpose-offset
     order (caller un-mirrors). `dw_only=True` skips the d_feats matmuls
     (returned d_feats is zeros) — for stem convs whose input is raw data
-    with no gradient consumer.
+    with no gradient consumer. `align` must match the worklist's start
+    alignment; it bounds the lane packing of the g windows.
     """
     n_out_f, cin_raw = feats.shape
     K, n_out = kmap_t.shape
     assert n_out_f == n_out  # d_feats rows == transpose-map outputs
     n_src = g.shape[0]       # gather SOURCE rows (differs from n_out for
     cout = g.shape[-1]       # strided down/up pairs)
-    g_p, cout_p = _pad_feats(g, window)
+    pack = runtime_pack(cout, window, align)
+    g_p, cout_p = _pad_feats(g, window, pack)
+    glanes = pack * cout_p if pack > 1 else cout_p
     kmap_p, opad = _pad_kmap(kmap_t, n_src)
     # pad tiny channel counts (the 3-channel stem input) to a sublane
     # multiple so f_tile blocks / dW tiles stay layout-friendly
     cin = max(-(-cin_raw // 8) * 8, 8)
     f_p = jnp.pad(feats, ((0, opad), (0, cin - cin_raw)))
-    # wt[k] = W_pair[k]^T padded on the Cout (contract) AND Cin sides
+    # wt[k] = W_pair[k]^T padded on the Cout (contract) AND Cin sides;
+    # with packing, tiled once per lane group (see window_conv_fwd)
     wt = jnp.pad(jnp.swapaxes(weights_pair, 1, 2),
-                 ((0, 0), (0, cout_p - cout),
-                  (0, cin - cin_raw))).astype(jnp.bfloat16)
+                 ((0, 0), (0, cout_p - cout), (0, cin - cin_raw)))
+    if pack > 1:
+        wt = jnp.tile(wt, (1, pack, 1))
+    wt = wt.astype(jnp.bfloat16)
     cap = meta.shape[-1]
 
-    kern = functools.partial(_wjobs_bwd_kernel, group=group, window=window,
-                             n_in=n_src, cap=cap, nbuf=nbuf, dw_only=dw_only)
+    n_tiles = (n_out + opad) // TILE
+    if tile_grid_enabled():
+        kern = functools.partial(_tile_bwd_kernel, group=group,
+                                 window=window, n_in=n_src, cap=cap,
+                                 nbuf=nbuf, pack=pack, c_pack=cout_p,
+                                 n_tiles=n_tiles, dw_only=dw_only)
+        grid = (n_tiles,)
+        kmap_spec = pl.BlockSpec((K, TILE), lambda t, m: (0, t))
+        row_spec = pl.BlockSpec((TILE, cin), lambda t, m: (t, 0))
+        dw_spec = pl.BlockSpec((K, cin, glanes), lambda t, m: (0, 0, 0))
+    else:
+        kern = functools.partial(_wjobs_bwd_kernel, group=group,
+                                 window=window, n_in=n_src, cap=cap,
+                                 nbuf=nbuf, pack=pack, c_pack=cout_p,
+                                 dw_only=dw_only)
+        grid = (cap,)
+        kmap_spec = pl.BlockSpec((K, TILE), lambda j, m: (0, m[j]))
+        row_spec = pl.BlockSpec((TILE, cin), lambda j, m: (m[j], 0))
+        dw_spec = pl.BlockSpec((K, cin, glanes), lambda j, m: (0, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(cap,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((K, TILE), lambda j, m: (0, m[j])),
-            pl.BlockSpec((TILE, cin), lambda j, m: (m[j], 0)),
+            kmap_spec,
+            row_spec,
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TILE, cin), lambda j, m: (m[j], 0)),
-            pl.BlockSpec((K, cin, cout_p), lambda j, m: (0, 0, 0)),
+            row_spec,
+            dw_spec,
         ),
         scratch_shapes=[
-            pltpu.VMEM((nbuf, window, cout_p), jnp.bfloat16),
+            pltpu.VMEM((nbuf, window // pack, glanes), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )
@@ -472,7 +778,10 @@ def window_conv_bwd(feats, g, kmap_t, meta, weights_pair, *, group: int,
         kern, grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_out + opad, cin), jnp.float32),
-            jax.ShapeDtypeStruct((K, cin, cout_p), jnp.float32),
+            jax.ShapeDtypeStruct((K, cin, glanes), jnp.float32),
         ),
     )(meta.reshape(-1), kmap_p, f_p, g_p, wt)
+    if pack > 1:
+        # dW accumulated in packed-lane layout: fold the pack groups
+        d_w_t = d_w_t.reshape(K, cin, pack, cout_p).sum(axis=2)
     return d_feats[:n_out, :cin_raw], d_w_t[:, :cin_raw, :cout]

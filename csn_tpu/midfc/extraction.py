@@ -67,8 +67,8 @@ def extract_split(model, variables, dataset, spec, out_root: str,
     @jax.jit
     def step(variables, qb):
         logits, fc1 = model.apply(variables, qb, train=False, return_fc1=True)
-        pt_fc1 = interpolate_to_points(fc1, qb.interp_idx, qb.interp_w)
-        pt_logits = interpolate_to_points(logits, qb.interp_idx, qb.interp_w)
+        pt_fc1 = interpolate_to_points(fc1, qb.interp_idx, qb.interp_w, qb.point_to_voxel)
+        pt_logits = interpolate_to_points(logits, qb.interp_idx, qb.interp_w, qb.point_to_voxel)
         return pt_fc1, predict_nonzero(pt_logits)
 
     dirs = {n: os.path.join(out_root, n)
@@ -121,8 +121,7 @@ def export_from_model(out_root: str, model, variables, batches,
     for vb in batches:
         jb = vb.to_jax() if hasattr(vb, "to_jax") else vb
         feats = model.apply(variables, jb, train=False, return_ssa=True)
-        pt_feats = np.asarray(interpolate_to_points(
-            feats, jb.interp_idx, jb.interp_w))
+        pt_feats = np.asarray(interpolate_to_points(feats, jb.interp_idx, jb.interp_w, jb.point_to_voxel))
         labels = np.asarray(jb.labels)
         mask = np.asarray(jb.point_mask)
         for b in range(pt_feats.shape[0]):

@@ -40,6 +40,10 @@ def main(argv=None):
     ap.add_argument("--chunk_size", type=int, default=500)
     ap.add_argument("--num_points", type=int, default=10000)
     ap.add_argument("--batch_size", type=int, default=1)
+    ap.add_argument("--save_pred_dir", type=str, default="",
+                    help="also dump per-shape SSA/CSA argmax predictions "
+                         "(midfc_ssa/, midfc_csa_K_{K}/ — the inputs of the "
+                         "paper-figure accumulators, csn_tpu/midfc/paper.py)")
     args = ap.parse_args(argv)
 
     cfg = MidfcConfig(
@@ -80,6 +84,15 @@ def main(argv=None):
     csa_test = CSAFeaturesDataset(test_root, train_root, te_graph, cfg.K,
                                   cfg.num_points, same_collection=False)
     iou, loss = runner.validate(csa_test, is_csa=True)
+    if args.save_pred_dir:
+        from csn_tpu.midfc.paper import save_predictions
+
+        n = save_predictions(
+            runner, csa_test,
+            os.path.join(args.save_pred_dir, f"midfc_csa_K_{cfg.K}"),
+            is_csa=True)
+        logging.info("dumped %d per-shape CSA predictions to %s", n,
+                     args.save_pred_dir)
     os.makedirs(args.logs_dir, exist_ok=True)
     out_csv = os.path.join(args.logs_dir, "part_IoU_summaries.csv")
     with open(out_csv, "w") as f:

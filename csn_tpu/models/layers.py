@@ -76,27 +76,36 @@ class SparseConv(nn.Module):
 
     @nn.compact
     def __call__(self, batch, x: jnp.ndarray, out_shape: Tuple[int, int]) -> jnp.ndarray:
-        kmap = batch.kmaps[self.map_name]
+        from csn_tpu.core.pyramid import decode_kmap
+
+        b, l_in, _ = x.shape
+        # int16 wire tables -> absolute int32 indices (XLA CSEs the decode
+        # across the many convs sharing one map)
+        kmap = decode_kmap(batch.kmaps[self.map_name], b * l_in)
         t_name, mirror = transpose_map_name(self.map_name)
         kmap_t = batch.kmaps.get(t_name)
+        if kmap_t is not None and t_name != self.map_name:
+            kmap_t = decode_kmap(kmap_t, out_shape[0] * out_shape[1])
         if t_name == self.map_name:
             kmap_t = kmap
         win_starts = batch.kmaps.get("win!" + self.map_name)
         win_starts_t = batch.kmaps.get("win!" + t_name)
         ksize = int(self.map_name.rsplit("k", 1)[1])
         win_group = ksize * ksize  # one window per dx-slab of a cubic kernel
-        from csn_tpu.core.window_conv import window_for_map
+        from csn_tpu.core.window_conv import align_for_map, window_for_map
 
         win_window = window_for_map(self.map_name)
         win_window_t = window_for_map(t_name)
-        b, l_in, cin = x.shape
+        cin = x.shape[-1]
         k = kmap.shape[0]
         w = self.param("kernel", _conv_kernel_init, (k, cin, self.features))
         out = sparse_conv(x.reshape(b * l_in, cin), kmap, w, kmap_t=kmap_t,
                           mirror=mirror, win_starts=win_starts,
                           win_starts_t=win_starts_t, win_group=win_group,
                           win_window=win_window, win_window_t=win_window_t,
-                          input_grad=self.input_grad)
+                          input_grad=self.input_grad,
+                          win_align=align_for_map(self.map_name),
+                          win_align_t=align_for_map(t_name))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             out = out + bias[None, :]

@@ -79,8 +79,7 @@ def make_dp_train_step(model, optimizer, mesh: Mesh, *, k_neighbors: int = 0,
                     {"params": p, "batch_stats": batch_stats}, qb,
                     train=True, mutable=["batch_stats"],
                     rngs={"dropout": rng})
-            point_logits = interpolate_to_points(out, qb.interp_idx,
-                                                 qb.interp_w)
+            point_logits = interpolate_to_points(out, qb.interp_idx, qb.interp_w, qb.point_to_voxel)
             loss = cross_entropy_ignore(point_logits, qb.labels, ignore_label,
                                         qb.point_mask)
             return loss, new_vars["batch_stats"]
@@ -155,7 +154,7 @@ def make_dp_eval_step(model, mesh: Mesh, *, k_neighbors: int = 0,
                 out = model.apply({"params": params,
                                    "batch_stats": batch_stats}, qb,
                                   train=False)
-            pl = interpolate_to_points(out, qb.interp_idx, qb.interp_w)
+            pl = interpolate_to_points(out, qb.interp_idx, qb.interp_w, qb.point_to_voxel)
             return pl[None]
 
         return shard_map(inner, mesh=mesh, in_specs=(rep, rep, shd, shd),
@@ -207,8 +206,7 @@ def make_dp_trainer_steps(model, mesh: Mesh, *, k_neighbors: int = 0,
             def loss_fn(p):
                 out, new_vars = apply_model(p, batch_stats, qb, keys, True,
                                             True, r[0])
-                point_logits = interpolate_to_points(out, qb.interp_idx,
-                                                     qb.interp_w)
+                point_logits = interpolate_to_points(out, qb.interp_idx, qb.interp_w, qb.point_to_voxel)
                 loss = cross_entropy_ignore(point_logits, qb.labels,
                                             ignore_label, qb.point_mask)
                 return loss, (new_vars["batch_stats"], point_logits)
@@ -234,8 +232,7 @@ def make_dp_trainer_steps(model, mesh: Mesh, *, k_neighbors: int = 0,
             keys = tuple(unstack(k) for k in sk)
             out = apply_model(params, batch_stats, qb, keys, False, False,
                               None)
-            point_logits = interpolate_to_points(out, qb.interp_idx,
-                                                 qb.interp_w)
+            point_logits = interpolate_to_points(out, qb.interp_idx, qb.interp_w, qb.point_to_voxel)
             loss = cross_entropy_ignore(point_logits, qb.labels, ignore_label,
                                         qb.point_mask)
             from csn_tpu.train.losses import predict_nonzero
@@ -263,25 +260,46 @@ def make_dp_trainer_steps(model, mesh: Mesh, *, k_neighbors: int = 0,
 
 
 def sharded_retrieval_measure(q_feats, q_mask, k_feats, k_mask, mesh: Mesh,
-                              axis: str = "data", key_chunk: int = 8):
+                              axis: str = "data", key_chunk: int = 8,
+                              query_block: int = 32):
     """Shape-graph construction as a REAL mesh computation (shard_map): the
-    query set is sharded over the `data` axis, the key descriptors are
-    replicated (one [L0, d] block per shape — cheap over ICI, SURVEY.md
-    §5.8); every chip computes its [nq/n_dev, N_k] slice of the mean-of-max
-    cosine measure in one program. Returns the full [N_q, N_k] on host."""
+    KEY descriptor set is sharded over the `data` axis (SURVEY.md §5.8 —
+    replicating it would put the whole multi-GB collection on every chip;
+    sharded, Table-scale keys fit per-chip HBM), query blocks are streamed
+    replicated, and every chip computes the [bq, N_k/n_dev] column slice of
+    the mean-of-max cosine measure. Returns the full [N_q, N_k] on host."""
     from csn_tpu.retrieval.graph import _retrieval_block
 
     n_dev = mesh.devices.size
     nq = q_feats.shape[0]
-    per = -(-nq // n_dev)
-    pad = per * n_dev - nq
-    qf = np.pad(np.asarray(q_feats, np.float32), ((0, pad), (0, 0), (0, 0)))
-    qm = np.pad(np.asarray(q_mask), ((0, pad), (0, 0)))
+    nk = k_feats.shape[0]
+    per_k = -(-nk // n_dev)
+    pad_k = per_k * n_dev - nk
+    # zero-pad + mask=False keys: their columns come back as -inf and are
+    # sliced away below
+    kf = np.pad(np.asarray(k_feats, np.float32),
+                ((0, pad_k), (0, 0), (0, 0)))
+    km = np.pad(np.asarray(k_mask), ((0, pad_k), (0, 0)))
+    q_feats = np.asarray(q_feats, np.float32)
+    q_mask = np.asarray(q_mask)
+
+    shd = jax.sharding.NamedSharding(mesh, P(axis))
+    kf_dev = jax.device_put(jnp.asarray(kf), shd)
+    km_dev = jax.device_put(jnp.asarray(km), shd)
 
     fn = jax.jit(jax.shard_map(
         lambda a, b, c, d: _retrieval_block(a, b, c, d, key_chunk=key_chunk),
-        mesh=mesh, in_specs=(P(axis), P(axis), P(), P()), out_specs=P(axis),
-        check_vma=False))
-    out = fn(jnp.asarray(qf), jnp.asarray(qm),
-             jnp.asarray(k_feats, jnp.float32), jnp.asarray(k_mask))
-    return np.asarray(out)[:nq]
+        mesh=mesh, in_specs=(P(), P(), P(axis), P(axis)),
+        out_specs=P(None, axis), check_vma=False))
+    rows = []
+    for s in range(0, nq, query_block):
+        e = min(s + query_block, nq)
+        qb, qm = q_feats[s:e], q_mask[s:e]
+        if qb.shape[0] < query_block:  # static shapes for jit cache
+            padn = query_block - qb.shape[0]
+            qb = np.concatenate([qb, np.repeat(qb[-1:], padn, 0)], axis=0)
+            qm = np.concatenate([qm, np.repeat(qm[-1:], padn, 0)], axis=0)
+        rows.append((fn(jnp.asarray(qb), jnp.asarray(qm), kf_dev, km_dev),
+                     e - s))
+    return np.concatenate([np.asarray(r)[:n] for r, n in rows],
+                          axis=0)[:, :nk]

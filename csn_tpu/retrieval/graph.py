@@ -84,30 +84,72 @@ def _retrieval_block(
     return res[:, :nk]
 
 
+KEY_BYTES_BUDGET = 2 << 30   # device bytes for the resident key-block
+
+
+def _key_block_size(k_feats, key_chunk: int, budget: int) -> int:
+    """Key shapes per streamed device block, bounded by `budget` bytes.
+    The big categories' full key set does NOT fit HBM (Table: 5707 shapes
+    x 5632 voxels x 256d f32 ~ 33 GB — the reference survives the same
+    blow-up by caching key features on CPU, `lib/csn_utils.py:66-83`)."""
+    per = int(np.prod(k_feats.shape[1:])) * k_feats.dtype.itemsize
+    blk = max(int(budget // max(per, 1)), key_chunk)
+    return -(-min(blk, k_feats.shape[0]) // key_chunk) * key_chunk
+
+
 def retrieval_measure(
     q_feats: np.ndarray, q_mask: np.ndarray,
     k_feats: np.ndarray, k_mask: np.ndarray,
     query_block: int = 4, key_chunk: int = 8,
+    key_bytes_budget: int = KEY_BYTES_BUDGET,
 ) -> np.ndarray:
-    """Full [N_q, N_k] mean-of-max cosine matrix, computed in device blocks."""
+    """Full [N_q, N_k] mean-of-max cosine matrix, computed in device blocks.
+
+    Keys are streamed host->device in bounded blocks (double-buffered: the
+    next block's transfer is dispatched before the current block's results
+    are pulled), so device footprint stays <= ~key_bytes_budget + one query
+    block regardless of category size."""
     nq = q_feats.shape[0]
-    # transfer the key set once (it can be GBs for the big categories)
-    k_dev = jax.device_put(jnp.asarray(k_feats))
-    km_dev = jax.device_put(jnp.asarray(k_mask))
-    rows = []
-    for s in range(0, nq, query_block):
-        e = min(s + query_block, nq)
-        qb = q_feats[s:e]
-        qm = q_mask[s:e]
-        if qb.shape[0] < query_block:  # static shapes for jit cache
-            padn = query_block - qb.shape[0]
-            qb = np.concatenate([qb, np.repeat(qb[-1:], padn, 0)], axis=0)
-            qm = np.concatenate([qm, np.repeat(qm[-1:], padn, 0)], axis=0)
-        r = np.asarray(_retrieval_block(
-            jnp.asarray(qb), jnp.asarray(qm), k_dev, km_dev,
-            key_chunk=key_chunk))
-        rows.append(r[: e - s])
-    return np.concatenate(rows, axis=0)
+    nk = k_feats.shape[0]
+    kb = _key_block_size(k_feats, key_chunk, key_bytes_budget)
+    q_feats = np.asarray(q_feats)
+    q_mask = np.asarray(q_mask)
+
+    def put_keys(s):
+        e = min(s + kb, nk)
+        kf = k_feats[s:e]
+        km = k_mask[s:e]
+        if kf.shape[0] < kb:  # static shapes for jit cache
+            padn = kb - kf.shape[0]
+            kf = np.concatenate([kf, np.zeros_like(kf[:1]).repeat(padn, 0)])
+            km = np.concatenate(
+                [km, np.zeros_like(km[:1]).repeat(padn, 0)])
+        return jax.device_put(jnp.asarray(kf)), jax.device_put(
+            jnp.asarray(km)), e - s
+
+    col_blocks = []
+    nxt = put_keys(0)
+    for ks in range(0, nk, kb):
+        k_dev, km_dev, kn = nxt
+        if ks + kb < nk:  # dispatch the next block's transfer now
+            nxt = put_keys(ks + kb)
+        rows = []
+        for s in range(0, nq, query_block):
+            e = min(s + query_block, nq)
+            qb = q_feats[s:e]
+            qm = q_mask[s:e]
+            if qb.shape[0] < query_block:  # static shapes for jit cache
+                padn = query_block - qb.shape[0]
+                qb = np.concatenate([qb, np.repeat(qb[-1:], padn, 0)],
+                                    axis=0)
+                qm = np.concatenate([qm, np.repeat(qm[-1:], padn, 0)],
+                                    axis=0)
+            r = _retrieval_block(jnp.asarray(qb), jnp.asarray(qm), k_dev,
+                                 km_dev, key_chunk=key_chunk)
+            rows.append((r, e - s))
+        col_blocks.append(np.concatenate(
+            [np.asarray(r)[:n] for r, n in rows], axis=0)[:, :kn])
+    return np.concatenate(col_blocks, axis=1)
 
 
 def knn_graph_from_measure(measure: np.ndarray, K: int,

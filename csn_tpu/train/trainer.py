@@ -157,8 +157,7 @@ class BaseTrainer:
                     {"params": p, "batch_stats": batch_stats}, qb, keys,
                     train=True, mutable=["batch_stats"],
                     rngs={"dropout": rng})
-                point_logits = interpolate_to_points(
-                    out, qb.interp_idx, qb.interp_w)
+                point_logits = interpolate_to_points(out, qb.interp_idx, qb.interp_w, qb.point_to_voxel)
                 loss = cross_entropy_ignore(
                     point_logits, qb.labels, self.config.ignore_label,
                     qb.point_mask)
@@ -186,8 +185,7 @@ class BaseTrainer:
             out = self._apply_model(
                 {"params": params, "batch_stats": batch_stats}, qb, keys,
                 train=False, mutable=False, rngs=None)
-            point_logits = interpolate_to_points(out, qb.interp_idx,
-                                                 qb.interp_w)
+            point_logits = interpolate_to_points(out, qb.interp_idx, qb.interp_w, qb.point_to_voxel)
             loss = cross_entropy_ignore(
                 point_logits, qb.labels, self.config.ignore_label,
                 qb.point_mask)

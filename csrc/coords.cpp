@@ -217,10 +217,11 @@ void csn_shape_destroy(void* h) { delete (Shape*)h; }
 // Returns the number of real jobs, or -1 on capacity overflow.
 int64_t csn_window_jobs(const int32_t* kmap, int64_t K, int64_t n_out,
                         int64_t n_in, int32_t tile, int32_t window,
-                        int32_t group, int64_t cap, int32_t* meta) {
+                        int32_t group, int64_t cap, int32_t align,
+                        int32_t* meta) {
   const int64_t n_tiles = (n_out + tile - 1) / tile;
   const int64_t ng = K / group;
-  if (K % group != 0 || window % 16 != 0) return -1;
+  if (K % group != 0 || align < 16 || window % align != 0) return -1;
 
   std::vector<int32_t> jt, jg, js;
   jt.reserve(cap); jg.reserve(cap); js.reserve(cap);
@@ -243,7 +244,7 @@ int64_t csn_window_jobs(const int32_t* kmap, int64_t K, int64_t n_out,
       }
       over[g] = 0;
       if (hi < 0) continue;            // no valid rows in this group
-      const int64_t lo16 = (lo >> 4) << 4;
+      const int64_t lo16 = (lo / align) * align;
       if (hi - lo16 < window) {
         jt.push_back((int32_t)ti); jg.push_back((int32_t)g);
         js.push_back((int32_t)lo16);
@@ -263,12 +264,12 @@ int64_t csn_window_jobs(const int32_t* kmap, int64_t K, int64_t n_out,
           if (row[c] < n_in) srcs.push_back(row[c]);
       }
       std::sort(srcs.begin(), srcs.end());
-      int64_t start = ((int64_t)srcs[0] >> 4) << 4;
+      int64_t start = ((int64_t)srcs[0] / align) * align;
       jt.push_back((int32_t)ti); jg.push_back((int32_t)g);
       js.push_back((int32_t)start);
       for (int32_t v : srcs) {
         if (v >= start + window) {
-          start = std::max((int64_t)((v >> 4) << 4), start + window);
+          start = std::max((int64_t)((v / align) * align), start + window);
           jt.push_back((int32_t)ti); jg.push_back((int32_t)g);
           js.push_back((int32_t)start);
         }
@@ -276,7 +277,9 @@ int64_t csn_window_jobs(const int32_t* kmap, int64_t K, int64_t n_out,
     }
     // every tile needs >= 1 job (zero-init + write): dummy gathers nothing
     if (jt.size() == tile_begin) {
-      jt.push_back((int32_t)ti); jg.push_back(0); js.push_back((int32_t)n_in);
+      // start 0: always aligned; a job-less tile has no valid kmap rows,
+      // so the one-hot gathers nothing regardless of the window
+      jt.push_back((int32_t)ti); jg.push_back(0); js.push_back(0);
     }
     if ((int64_t)jt.size() > cap) return -1;
   }
@@ -292,9 +295,18 @@ int64_t csn_window_jobs(const int32_t* kmap, int64_t K, int64_t n_out,
     if (j == n_jobs - 1 || jt[j] != jt[j + 1]) f |= 2;  // F_LAST
     meta[3 * cap + j] = f;
   }
+  // row 4: per-tile job index ranges (jobs are tile-sorted): lo_t =
+  // first job of tile t, terminated by n_jobs at index n_tiles
+  {
+    int64_t j = 0;
+    for (int64_t t = 0; t < n_tiles; ++t) {
+      while (j < n_jobs && jt[j] < t) ++j;
+      meta[4 * cap + t] = (int32_t)j;
+    }
+    meta[4 * cap + n_tiles] = (int32_t)n_jobs;
+  }
   for (int64_t j = n_jobs; j < cap; ++j) {  // inactive padding jobs
     meta[0 * cap + j] = n_jobs ? jt[n_jobs - 1] : 0;
-    meta[2 * cap + j] = (int32_t)n_in;
   }
   return n_jobs;
 }

@@ -74,10 +74,19 @@ def main():
                          * 0.05)
         x0 = jnp.asarray(rng.normal(size=(n_in, cin)).astype(np.float32))
 
+        from csn_tpu.core.window_conv import align_for_map, window_for_map
+
+        wwin, wwin_t = window_for_map(name), window_for_map(tname)
+        wal, wal_t = align_for_map(name), align_for_map(tname)
+        win_t = jb.kmaps.get("win!" + tname)
+
         def fwd_body(c):
             x, w = c
             out = sparse_conv(x, kmap, w, kmap_t=kmap_t, mirror=mir,
-                              win_starts=win, win_group=group)
+                              win_starts=win, win_starts_t=win_t,
+                              win_group=group, win_window=wwin,
+                              win_window_t=wwin_t, win_align=wal,
+                              win_align_t=wal_t)
             # mix output back into the input (shape-compatible only when
             # n_in == n_out and cin == cout; pad/slice otherwise)
             if out.shape == x.shape:
@@ -91,7 +100,10 @@ def main():
 
             def loss(x, w):
                 o = sparse_conv(x, kmap, w, kmap_t=kmap_t, mirror=mir,
-                                win_starts=win, win_group=group)
+                                win_starts=win, win_starts_t=win_t,
+                                win_group=group, win_window=wwin,
+                                win_window_t=wwin_t, win_align=wal,
+                                win_align_t=wal_t)
                 return jnp.sum(o * o) * 1e-6
 
             gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)

@@ -75,7 +75,7 @@ def test_dp_train_step_runs_and_matches_single_device_grads():
         out = model.apply({"params": params, "batch_stats": stats}, qb, (kb,),
                           train=True, mutable=["batch_stats"],
                           rngs={"dropout": jax.random.PRNGKey(0)})[0]
-        pl = interpolate_to_points(out, qb.interp_idx, qb.interp_w)
+        pl = interpolate_to_points(out, qb.interp_idx, qb.interp_w, qb.point_to_voxel)
         return float(cross_entropy_ignore(pl, qb.labels, 255, qb.point_mask))
 
     manual = np.mean([one_loss(per_dev_q[d].to_jax(), per_dev_k[d].to_jax())
@@ -112,8 +112,7 @@ def test_dp_eval_step_matches_single_device():
         qb, kb = per_dev_q[d].to_jax(), per_dev_k[d].to_jax()
         logits = model.apply({"params": params, "batch_stats": stats}, qb,
                              (kb,), train=False)
-        pl = np.asarray(interpolate_to_points(logits, qb.interp_idx,
-                                              qb.interp_w))
+        pl = np.asarray(interpolate_to_points(logits, qb.interp_idx, qb.interp_w, qb.point_to_voxel))
         np.testing.assert_allclose(out[d], pl, rtol=1e-4, atol=1e-5)
 
 

@@ -322,3 +322,88 @@ def test_combined_csa_windows_match_gather_on_tpu():
     scale = np.abs(outs[False]).max()
     assert np.abs(outs[True] - outs[False]).max() < 0.02 * scale, \
         np.abs(outs[True] - outs[False]).max()
+
+
+def test_window_conv_lane_packed_parity_on_tpu(monkeypatch):
+    """Lane-packed windowed conv (pack p source rows into the 128-lane dim;
+    one-hot contracts over W/p packed rows + post-gather lane-group select)
+    vs the XLA gather path, at every packing the experiment supports: C=32
+    (p=4), C=64 (p=2), and the k5 stem (Cin=3, p=16 fwd / p=4 bwd).
+    Packing is opt-in (measured slower end-to-end; window_conv.pack_enabled
+    documents the series) — exactness stays covered here."""
+    monkeypatch.setenv("CSN_PACK", "1")
+    from csn_tpu.core.pyramid import MapSpec, PyramidSpec, QMode, \
+        build_voxel_batch
+    from csn_tpu.core.window_conv import align_for_map, window_for_map, \
+        window_jobs
+    from csn_tpu.core.conv import sparse_conv
+
+    rng = np.random.default_rng(7)
+
+    def mixed(n=8000):
+        k = n // 2
+        v = rng.normal(size=(k, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        a = rng.uniform(-1, 1, size=(n - k, 2))
+        plane = np.concatenate([a, np.full((n - k, 1),
+                                           rng.uniform(-0.5, 0.5))], axis=1)
+        pts = np.concatenate([v * 0.8, plane]).astype(np.float32)
+        return pts, np.zeros((n, 1), np.float32), np.zeros(n, np.int32)
+
+    B, L0, L1 = 4, 5632, 1880
+    spec = PyramidSpec(voxel_size=0.05, num_points=8000,
+                       level_caps=(L0, L1),
+                       maps=(MapSpec("same", 0, 3), MapSpec("same", 0, 5),
+                             MapSpec("down", 0, 3), MapSpec("up", 0, 3)),
+                       qmode=QMode.UNWEIGHTED_AVERAGE)
+    vb = build_voxel_batch([mixed() for _ in range(B)], spec)
+    N0, N1 = B * L0, B * L1
+
+    def meta_for(name, n_in, group=9, cap_mult=2.0):
+        return (jnp.asarray(window_jobs(
+            vb.kmaps[name], n_in, window=window_for_map(name), group=group,
+            cap_mult=cap_mult, align=align_for_map(name))),
+            window_for_map(name), align_for_map(name))
+
+    def check(name, cin, cout, kmt_name, mirror, group=9):
+        kmap = jnp.asarray(vb.kmaps[name])
+        kmap_t = jnp.asarray(vb.kmaps[kmt_name])
+        n_in = N1 if name.startswith("up") else N0
+        n_in_t = N1 if kmt_name.startswith("up") else N0
+        meta, w_win, al = meta_for(name, n_in, group)
+        meta_t, w_win_t, al_t = meta_for(kmt_name, n_in_t, group)
+        x = jnp.asarray(rng.normal(size=(n_in, cin)).astype(np.float32))
+        w = jnp.asarray(
+            rng.normal(size=(group * 3 if group == 9 else 125, cin,
+                             cout)).astype(np.float32) * 0.1)
+
+        def loss(x, w, use_win):
+            o = sparse_conv(
+                x, kmap, w, kmap_t=kmap_t, mirror=mirror,
+                win_starts=meta if use_win else None,
+                win_starts_t=meta_t if use_win else None, win_group=group,
+                win_window=w_win, win_window_t=w_win_t, win_align=al,
+                win_align_t=al_t)
+            return jnp.sum(o * o)
+
+        fwd_w = np.asarray(jax.jit(lambda x, w: sparse_conv(
+            x, kmap, w, kmap_t=kmap_t, mirror=mirror, win_starts=meta,
+            win_group=group, win_window=w_win, win_align=al))(x, w))
+        fwd_r = np.asarray(jax.jit(lambda x, w: sparse_conv(
+            x, kmap, w, kmap_t=kmap_t, mirror=mirror))(x, w))
+        scale = np.abs(fwd_r).max()
+        assert np.abs(fwd_w - fwd_r).max() < 0.01 * scale, name
+        g = jax.jit(jax.grad(lambda x, w: loss(x, w, True), argnums=(0, 1)))
+        r = jax.jit(jax.grad(lambda x, w: loss(x, w, False), argnums=(0, 1)))
+        (gx_w, gw_w), (gx_r, gw_r) = g(x, w), r(x, w)
+        gx_w, gw_w, gx_r, gw_r = map(np.asarray, (gx_w, gw_w, gx_r, gw_r))
+        assert np.abs(gx_w - gx_r).max() < 0.02 * max(np.abs(gx_r).max(),
+                                                      1e-3), name
+        assert np.abs(gw_w - gw_r).max() < 0.02 * np.abs(gw_r).max(), name
+
+    check("same0k3", 32, 32, "same0k3", True)    # p=4 fwd+bwd
+    check("same0k3", 64, 64, "same0k3", True)    # p=2 fwd+bwd
+    check("same0k3", 32, 64, "same0k3", True)    # p=4 fwd, p=2 bwd
+    check("down0k3", 64, 128, "up0k3", False)    # p=2 fwd, p=1 bwd
+    check("up0k3", 128, 64, "down0k3", False)    # p=1 fwd, p=2 bwd
+    check("same0k5", 3, 32, "same0k5", True, group=25)  # p=16 fwd, p=4 bwd

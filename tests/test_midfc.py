@@ -262,3 +262,67 @@ def test_convert_released_checkpoint_schema():
     conv_shapes, init_shapes = shapes(params), shapes(ref)
     assert conv_shapes == init_shapes, (
         sorted(set(conv_shapes) ^ set(init_shapes)))
+
+
+def test_paper_figure_tooling(tmp_path):
+    """MID-FC paper-figure helpers (`MID-FC/utils.py:41-105`):
+    save_predictions writes per-shape unpadded argmax dumps;
+    accumulate_predictions / accumulate_neigh concatenate the render
+    columns [pts|gt|midfc_pred|ssa|csa] and [pts|labels]."""
+    import numpy as np
+
+    from csn_tpu.midfc.data import FeaturesDataset, write_synthetic_midfc
+    from csn_tpu.midfc.paper import (
+        accumulate_neigh, accumulate_predictions, save_predictions,
+    )
+    from csn_tpu.midfc.training import MidfcConfig, MidfcRunner
+
+    rng = np.random.default_rng(0)
+    root = str(tmp_path)
+    n, P, C, ncls = 4, 24, 8, 5
+    for split in ("train", "test"):
+        droot = os.path.join(root, "data", split, "Chair")
+        write_synthetic_midfc(droot, n_shapes=n, num_points=P, channels=C,
+                              num_classes=ncls, seed=0)
+        # the extra per-shape dirs of the extraction contract
+        for sub in ("pts", "midfc_pred"):
+            os.makedirs(os.path.join(droot, sub), exist_ok=True)
+        for i in range(n):
+            h = P - (i % 3) * 5
+            np.save(os.path.join(droot, "pts", f"shape_{i}.npy"),
+                    rng.normal(size=(h, 3)).astype(np.float32))
+            np.save(os.path.join(droot, "midfc_pred", f"shape_{i}.npy"),
+                    rng.integers(0, ncls, size=(h,)))
+
+    cfg = MidfcConfig(logs_dir=os.path.join(root, "logs"), partname="Chair",
+                      num_classes=ncls, n_heads=1, K=1, batch_size=2,
+                      chunk_size=P // 2, num_points=P, d_model=C)
+    runner = MidfcRunner(cfg, "ssa")
+    ds = FeaturesDataset(os.path.join(root, "data", "test", "Chair"), P)
+    f0, _, _ = next(iter(ds.batches(cfg.batch_size)))
+    runner.initialize(f0)
+
+    pred_root = os.path.join(root, "preds", "Chair")
+    wrote = save_predictions(runner, ds, os.path.join(pred_root,
+                                                      "midfc_ssa"),
+                             is_csa=False)
+    assert wrote == n
+    # reuse the ssa dumps as csa dumps for the accumulator contract
+    import shutil
+
+    shutil.copytree(os.path.join(pred_root, "midfc_ssa"),
+                    os.path.join(pred_root, "midfc_csa_K_1"))
+
+    out = accumulate_predictions(os.path.join(root, "data"), "Chair",
+                                 os.path.join(root, "render"),
+                                 pred_root=os.path.join(root, "preds"),
+                                 K=1, split="test")
+    assert out == n
+    a = np.load(os.path.join(root, "render", "Chair", "shape_0.npy"))
+    assert a.ndim == 2 and a.shape[1] == 7  # pts(3)+gt+midfc+ssa+csa
+
+    out = accumulate_neigh(os.path.join(root, "data"), "Chair",
+                           os.path.join(root, "render_neigh"), split="train")
+    assert out == n
+    b = np.load(os.path.join(root, "render_neigh", "Chair", "shape_1.npy"))
+    assert b.shape[1] == 4  # pts(3)+labels

@@ -178,7 +178,8 @@ def test_interp_exact_at_voxel_corner():
 
     jb = vb.to_jax()
     vf = jnp.asarray(vb.vox_feats)
-    out = interpolate_to_points(vf, jb.interp_idx, jb.interp_w)
+    out = interpolate_to_points(vf, jb.interp_idx, jb.interp_w,
+                                jb.point_to_voxel)
     np.testing.assert_allclose(np.asarray(out[0, 0]), feats[0], atol=1e-5)
 
 
@@ -237,7 +238,8 @@ def test_native_engine_matches_numpy():
     def interp(vb):
         jb = vb.to_jax()
         return np.asarray(interpolate_to_points(
-            jnp.asarray(vb.vox_feats), jb.interp_idx, jb.interp_w))
+            jnp.asarray(vb.vox_feats), jb.interp_idx, jb.interp_w,
+            jb.point_to_voxel))
 
     np.testing.assert_allclose(interp(vb_np), interp(vb_nat), rtol=1e-4,
                                atol=1e-5)
@@ -274,20 +276,63 @@ def test_concat_jax_batches_matches_joint_build():
     joint = build_voxel_batch(shapes, spec)
 
     cat = concat_jax_batches([b1.to_jax(), b2.to_jax()])
-    jj = joint.to_jax()
+    # joint reference in ABSOLUTE (decoded) indices: concat decodes int16
+    # wire tables before remapping, so compare decoded-to-decoded
+    jj = joint.to_jax(compact=False)
     for name in jj.kmaps:
-        np.testing.assert_array_equal(np.asarray(cat.kmaps[name]),
-                                      np.asarray(jj.kmaps[name]), err_msg=name)
+        got = np.asarray(cat.kmaps[name])
+        if not name.startswith("win!"):
+            assert got.dtype == np.int32, name  # concat decoded the wire
+        np.testing.assert_array_equal(got, np.asarray(jj.kmaps[name]),
+                                      err_msg=name)
+    # int16 interp deltas / f16 floats are concat-invariant wire formats:
+    # the encoded joint build matches the concat of encoded parts exactly
+    enc_joint = joint.to_jax()
     np.testing.assert_array_equal(np.asarray(cat.interp_idx),
-                                  np.asarray(jj.interp_idx))
-    np.testing.assert_allclose(np.asarray(cat.interp_w),
-                               np.asarray(jj.interp_w))
+                                  np.asarray(enc_joint.interp_idx))
+    np.testing.assert_array_equal(np.asarray(cat.interp_w),
+                                  np.asarray(enc_joint.interp_w))
     np.testing.assert_array_equal(np.asarray(cat.point_to_voxel),
                                   np.asarray(jj.point_to_voxel))
-    np.testing.assert_allclose(np.asarray(cat.vox_feats),
-                               np.asarray(jj.vox_feats))
+    np.testing.assert_array_equal(np.asarray(cat.vox_feats),
+                                  np.asarray(enc_joint.vox_feats))
     for l in range(2):
         np.testing.assert_array_equal(np.asarray(cat.masks[l]),
                                       np.asarray(jj.masks[l]))
-        np.testing.assert_array_equal(np.asarray(cat.coords[l]),
-                                      np.asarray(jj.coords[l]))
+
+
+def test_compact_wire_roundtrip():
+    """int16 kmap wire encoding is lossless; compact to_jax drops
+    points/coords; decode_kmap restores absolute indices exactly."""
+    import jax.numpy as jnp
+
+    from csn_tpu.core.pyramid import decode_kmap, encode_kmap16
+
+    rng = np.random.default_rng(0)
+    B, n = 2, 1500
+    shapes = [(rng.uniform(-1, 1, (n, 3)).astype(np.float32),
+               rng.normal(size=(n, 3)).astype(np.float32),
+               np.zeros(n, np.int32)) for _ in range(B)]
+    spec = PyramidSpec(voxel_size=0.08, num_points=n, level_caps=(704, 352),
+                       maps=(MapSpec("same", 0, 3), MapSpec("down", 0, 3),
+                             MapSpec("up", 0, 3)))
+    vb = build_voxel_batch(shapes, spec)
+    jb = vb.to_jax()          # compact default
+    assert jb.points is None and jb.coords is None
+    full = vb.to_jax(compact=False)
+    assert full.points is not None
+    wire = sum(int(np.asarray(v).nbytes) for v in jb.kmaps.values())
+    fullb = sum(int(np.asarray(v).nbytes) for v in full.kmaps.values())
+    assert wire < 0.6 * fullb
+    for name, enc in jb.kmaps.items():
+        if name.startswith("win!"):
+            continue
+        src_l = 1 if name.startswith("up") else 0
+        n_in = B * spec.level_caps[src_l]
+        assert enc.dtype == jnp.int16, name
+        dec = np.asarray(decode_kmap(enc, n_in))
+        np.testing.assert_array_equal(dec, vb.kmaps[name], err_msg=name)
+    # spread exceeding int16 -> encoder declines (int32 kept, no corruption)
+    big = np.zeros((1, 512), np.int32)
+    big[0, ::2] = 120000
+    assert encode_kmap16(big, 130000) is None

@@ -38,6 +38,37 @@ def test_retrieval_measure_matches_numpy():
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_retrieval_measure_streams_key_blocks():
+    """Big-category memory safety: keys are streamed in bounded device
+    blocks (Table-scale key sets exceed one chip's HBM — the reference
+    caches key features on CPU for the same reason,
+    `lib/csn_utils.py:66-83`). A tiny byte budget must force multiple key
+    blocks and still reproduce the one-shot measure exactly."""
+    from csn_tpu.retrieval.graph import _key_block_size
+
+    rng = np.random.default_rng(3)
+    nq, nk, P, d = 9, 23, 14, 6
+    q = rng.normal(size=(nq, P, d)).astype(np.float32)
+    k = rng.normal(size=(nk, P, d)).astype(np.float32)
+    qm = rng.random((nq, P)) < 0.8
+    km = rng.random((nk, P)) < 0.8
+    qm[:, 0] = km[:, 0] = True
+
+    per_key = P * d * 4
+    budget = 5 * per_key  # key block of ~5 shapes -> >= 4 streamed blocks
+    kb = _key_block_size(k, key_chunk=3, budget=budget)
+    assert kb < nk and kb % 3 == 0
+    got = retrieval_measure(q, qm, k, km, query_block=4, key_chunk=3,
+                            key_bytes_budget=budget)
+    ref = numpy_mean_of_max_cosine(q, qm, k, km)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+    # default budget bounds the device block for category-scale key sets
+    # (broadcast view: Table-scale shape without allocating 16 GB)
+    big = np.broadcast_to(np.zeros(1, np.float16), (5707, 5632, 256))
+    assert _key_block_size(big, 8, 2 << 30) * 5632 * 256 * 2 <= (2 << 30) + \
+        8 * 5632 * 256 * 2
+
+
 def test_knn_graph_self_exclusion_and_topk():
     m = np.array([[1.0, 0.9, 0.8, 0.1],
                   [0.5, 1.0, 0.7, 0.9],

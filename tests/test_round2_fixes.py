@@ -62,13 +62,15 @@ def test_prefetch_flushed_on_graph_construction(trainer):
     n = len(trainer.train_dataset)
     trainer.train_dataset.neighbors = [(i, [0]) for i in range(n)]
     qb, keys = trainer._fetch_data(augment=False)
-    expected, _, _ = trainer.train_dataset.get(0, augment=False)
-    expected = expected / trainer.spec.voxel_size
-    kpts = np.asarray(keys[0].points)
+    expected, feats, _ = trainer.train_dataset.get(0, augment=False)
+    # compact device batches drop `points`; the xyz input FEATURES identify
+    # the shape just as well (PartNet: AUGMENT_COORDS_TO_FEATS)
+    kfeats = np.asarray(keys[0].point_feats, np.float32)
     kmask = np.asarray(keys[0].point_mask)
-    for b in range(kpts.shape[0]):
+    for b in range(kfeats.shape[0]):
         p = int(kmask[b].sum())
-        np.testing.assert_allclose(kpts[b, :p], expected[:p], rtol=1e-5)
+        np.testing.assert_allclose(kfeats[b, :p], feats[:p], rtol=1e-2,
+                                   atol=1e-3)  # f16 wire
 
 
 def test_plateau_rebuild_reloads_optimizer_state(trainer):

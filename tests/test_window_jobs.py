@@ -109,6 +109,51 @@ def test_window_jobs_split_windows_cover_wide_spreads():
             assert (hits == 1).all(), (t, g)
 
 
+def test_window_jobs_align_invariants():
+    """align=64/256 (lane-packed kernels): starts are align-multiples,
+    coverage stays exact, dummy/padding starts are 0 (always aligned)."""
+    kmap, n_in = _mixed_geometry_kmap()
+    for align, wdw in ((64, 384), (64, 512), (256, 512)):
+        meta = window_jobs(kmap, n_in, window=wdw, group=9, align=align)
+        tiles, groups, starts, flags = meta[0], meta[1], meta[2], meta[3]
+        active = (flags & F_ACTIVE) != 0
+        assert (starts % align == 0).all()
+        assert (starts[~active] == 0).all()
+        K = kmap.shape[0]
+        n_tiles = -(-kmap.shape[1] // TILE)
+        pad = (-kmap.shape[1]) % TILE
+        km = np.concatenate([kmap, np.full((K, pad), n_in, kmap.dtype)],
+                            axis=1)
+        for t in range(n_tiles):
+            for g in range(K // 9):
+                wins = starts[active & (tiles == t) & (groups == g)]
+                rows = km[g * 9:(g + 1) * 9,
+                          t * TILE:(t + 1) * TILE].reshape(-1)
+                rows = rows[rows < n_in]
+                if rows.size == 0:
+                    continue
+                hits = ((rows[:, None] >= wins[None, :])
+                        & (rows[:, None] < wins[None, :] + wdw)).sum(axis=1)
+                assert (hits == 1).all(), (align, wdw, t, g)
+
+
+def test_runtime_pack(monkeypatch):
+    from csn_tpu.core.window_conv import pack_of, runtime_pack
+
+    assert pack_of(3) == 16 and pack_of(32) == 4 and pack_of(64) == 2
+    assert pack_of(128) == 1 and pack_of(256) == 1 and pack_of(96) == 1
+    # packing is an opt-in experiment (measured slower; see pack_enabled)
+    assert runtime_pack(32, 384, 64) == 1
+    monkeypatch.setenv("CSN_PACK", "1")
+    # bounded by the meta alignment
+    assert runtime_pack(32, 384, 64) == 4
+    assert runtime_pack(32, 384, 16) == 1
+    assert runtime_pack(3, 512, 256) == 16
+    # bounded by W % (16p) == 0 (packed window must stay a sublane mult)
+    assert runtime_pack(3, 384, 256) == 8
+    assert runtime_pack(64, 384, 64) == 2
+
+
 def test_native_window_jobs_matches_numpy():
     """The C++ worklist builder (csrc csn_window_jobs) is bit-identical to
     the numpy reference on both realistic and adversarial geometry."""
@@ -121,21 +166,23 @@ def test_native_window_jobs_matches_numpy():
 
         pytest.skip("native engine not built")
 
-    def numpy_jobs(kmap, n_in, window, group, cap_mult=1.5):
+    def numpy_jobs(kmap, n_in, window, group, cap_mult=1.5, align=16):
         # force the numpy path by monkeypatching the native call away
         orig = native.window_jobs_native
         native.window_jobs_native = lambda *a, **k: None
         try:
             return window_jobs(kmap, n_in, window=window, group=group,
-                               cap_mult=cap_mult)
+                               cap_mult=cap_mult, align=align)
         finally:
             native.window_jobs_native = orig
 
     kmap, n_in = _mixed_geometry_kmap()
-    for wdw, grp in ((512, 9), (384, 9), (384, 3)):
-        a = window_jobs(kmap, n_in, window=wdw, group=grp)
-        b = numpy_jobs(kmap, n_in, wdw, grp)
-        np.testing.assert_array_equal(a, b, err_msg=f"w={wdw} g={grp}")
+    for wdw, grp, align in ((512, 9, 16), (384, 9, 16), (384, 3, 16),
+                            (384, 9, 64), (512, 9, 256)):
+        a = window_jobs(kmap, n_in, window=wdw, group=grp, align=align)
+        b = numpy_jobs(kmap, n_in, wdw, grp, align=align)
+        np.testing.assert_array_equal(a, b,
+                                      err_msg=f"w={wdw} g={grp} a={align}")
 
     # adversarial wide-spread kmap (multi-window greedy path)
     rng = np.random.default_rng(1)
@@ -146,6 +193,57 @@ def test_native_window_jobs_matches_numpy():
         km[k] = np.where(lowhigh, rng.integers(n_in2 - 600, n_in2, n_out),
                          rng.integers(0, 600, n_out))
     km[0, ::17] = n_in2
-    a = window_jobs(km, n_in2, group=9, cap_mult=2.0)
-    b = numpy_jobs(km, n_in2, WINDOW, 9, cap_mult=2.0)
-    np.testing.assert_array_equal(a, b)
+    for align in (16, 64):
+        a = window_jobs(km, n_in2, group=9, cap_mult=2.0, align=align)
+        b = numpy_jobs(km, n_in2, WINDOW, 9, cap_mult=2.0, align=align)
+        np.testing.assert_array_equal(a, b)
+
+
+def test_meta_row4_tile_ranges():
+    """Row 4 (per-tile job column ranges for the tile-grid kernels):
+    ranges partition [0, n_jobs); every active job in range t has tile t;
+    and after concat_jax_batches the combined row 4 partitions the combined
+    columns with batch offsets applied."""
+    kmap, n_in = _mixed_geometry_kmap()
+    meta = window_jobs(kmap, n_in, group=9)
+    n_tiles = -(-kmap.shape[1] // TILE)
+    r4 = meta[4]
+    n_jobs = int(((meta[3] & F_ACTIVE) != 0).sum())
+    assert r4[0] == 0 and r4[n_tiles] == n_jobs
+    assert (np.diff(r4[:n_tiles + 1]) >= 0).all()
+    for t in range(n_tiles):
+        seg = meta[:, r4[t]:r4[t + 1]]
+        act = (seg[3] & F_ACTIVE) != 0
+        assert (seg[0][act] == t).all()
+
+    # concat: combined row 4 must give each tile the right active jobs
+    import jax.numpy as jnp
+
+    from csn_tpu.core.pyramid import (
+        MapSpec, PyramidSpec, QMode, build_voxel_batch, concat_jax_batches,
+    )
+
+    def shapes(seed, n=2000):
+        rng = np.random.default_rng(seed)
+        pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+        return [(pts, pts.copy(), np.zeros(n, np.int32)) for _ in range(2)]
+
+    spec = PyramidSpec(voxel_size=0.05, num_points=2000, level_caps=(1280,),
+                       maps=(MapSpec("same", 0, 3),),
+                       qmode=QMode.UNWEIGHTED_AVERAGE, use_windows=True)
+    b1 = build_voxel_batch(shapes(0), spec)
+    b2 = build_voxel_batch(shapes(1), spec)
+    cat = concat_jax_batches([b1.to_jax(), b2.to_jax()])
+    m = np.asarray(cat.kmaps["win!same0k3"])
+    nt = 2 * 2 * 1280 // TILE
+    r4 = m[4]
+    assert (np.diff(r4[:nt + 1]) >= 0).all()
+    assert r4[nt] <= m.shape[1]
+    seen_active = 0
+    for t in range(nt):
+        seg = m[:, r4[t]:r4[t + 1]]
+        act = (seg[3] & F_ACTIVE) != 0
+        assert (seg[0][act] == t).all(), t
+        seen_active += int(act.sum())
+    total_active = int(((m[3] & F_ACTIVE) != 0).sum())
+    assert seen_active == total_active  # every active job visited once
