@@ -129,13 +129,15 @@ def window_for_map(name: str) -> int:
     dominates at these scales: the best widths MINIMIZE JOB COUNT, not the
     work product. Measured end-to-end: narrower-than-necessary widths lose
     (294 -> 278 ms regression when down/up went 512/384 -> 256/128)."""
+    import os
+
     if "k5" in name and pack_enabled():
         return 512   # stem under packing: align 256 demands W % 256 == 0
     if name.startswith("up"):
-        return 384
+        return int(os.environ.get("CSN_W_UP", "384"))
     if name.startswith("down"):
-        return 512
-    return 384
+        return int(os.environ.get("CSN_W_DOWN", "512"))
+    return int(os.environ.get("CSN_W_SAME", "384"))
 
 
 def cap_mult_for_map(name: str) -> float:
