@@ -251,6 +251,16 @@ def main():
               file=sys.stderr)
 
     iters = int(os.environ.get("BENCH_ITERS", "10"))
+    trace_dir = os.environ.get("BENCH_TRACE", "")
+    if trace_dir:  # profile 3 steps (parse with scripts/trace_budget.py)
+        jax.profiler.start_trace(trace_dir)
+        for _ in range(3):
+            key, sub = jax.random.split(key)
+            params, stats, opt_state, loss = train_step(
+                params, stats, opt_state, qb, kbs, sub)
+        loss.block_until_ready()
+        jax.profiler.stop_trace()
+        print(f"[bench] trace written to {trace_dir}", file=sys.stderr)
     t0 = time.time()
     for i in range(iters):
         key, sub = jax.random.split(key)
