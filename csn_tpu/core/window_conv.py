@@ -642,14 +642,25 @@ def _pad_kmap(kmap, n_in, tile=TILE):
     return kmap, pad
 
 
+def _default_nbuf() -> int:
+    """Window double-buffer depth (CSN_NBUF overrides; perf knob): 2 =
+    classic double buffering; 3 keeps two DMAs in flight to absorb HBM
+    latency spikes at the cost of one extra window of VMEM."""
+    import os
+
+    return int(os.environ.get("CSN_NBUF", "2"))
+
+
 def window_conv_fwd(feats, kmap, meta, weights, *, group: int,
-                    window: int = WINDOW, nbuf: int = 2, align: int = 16):
+                    window: int = WINDOW, nbuf: int = None, align: int = 16):
     """feats [N_in, Cin], kmap [K, N_out], meta [META_ROWS, J], weights
     [K, Cin, Cout] -> [N_out, Cout]. `align` must match the worklist's
     start alignment (window_jobs align=): it bounds the lane packing."""
     n_in, cin = feats.shape
     K, n_out = kmap.shape
     cout = weights.shape[-1]
+    if nbuf is None:
+        nbuf = _default_nbuf()
     pack = runtime_pack(cin, window, align)
     feats_p, c_pack = _pad_feats(feats, window, pack)
     kmap_p, opad = _pad_kmap(kmap, n_in)
@@ -704,7 +715,7 @@ def window_conv_fwd(feats, kmap, meta, weights, *, group: int,
 
 
 def window_conv_bwd(feats, g, kmap_t, meta, weights_pair, *, group: int,
-                    window: int = WINDOW, nbuf: int = 2,
+                    window: int = WINDOW, nbuf: int = None,
                     dw_only: bool = False, align: int = 16):
     """Fused backward for a same-level windowed conv.
 
@@ -722,6 +733,8 @@ def window_conv_bwd(feats, g, kmap_t, meta, weights_pair, *, group: int,
     assert n_out_f == n_out  # d_feats rows == transpose-map outputs
     n_src = g.shape[0]       # gather SOURCE rows (differs from n_out for
     cout = g.shape[-1]       # strided down/up pairs)
+    if nbuf is None:
+        nbuf = _default_nbuf()
     pack = runtime_pack(cout, window, align)
     g_p, cout_p = _pad_feats(g, window, pack)
     glanes = pack * cout_p if pack > 1 else cout_p

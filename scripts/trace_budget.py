@@ -13,6 +13,9 @@ pipeline.
 
 import collections
 import glob
+import gzip
+import json
+import re
 import sys
 
 
@@ -28,11 +31,39 @@ def load_xspace(trace_dir: str):
     return xs
 
 
+def iter_chrome_ops(trace_dir: str):
+    """Yield (name, dur_ms) for device XLA-Op events from the chrome-format
+    trace.json.gz jax.profiler also writes — fallback when the installed
+    tensorboard_plugin_profile has no xplane_pb2 (this image's does not)."""
+    paths = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    if not paths:
+        raise SystemExit(f"no .xplane.pb or .trace.json.gz under {trace_dir}")
+    with gzip.open(sorted(paths)[-1]) as f:
+        events = json.load(f)["traceEvents"]
+    dev_pids = set()
+    op_tids = {}  # pid -> tid of its "XLA Ops" line
+    for e in events:
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name" and "TPU" in e["args"].get("name", ""):
+            dev_pids.add(e["pid"])
+        if e.get("name") == "thread_name" and e["args"].get("name") == "XLA Ops":
+            op_tids[e["pid"]] = e["tid"]
+    for e in events:
+        if (e.get("ph") == "X" and e.get("pid") in dev_pids
+                and e.get("tid") == op_tids.get(e["pid"])):
+            # strip XLA's .N uniquifier so repeats of one op aggregate
+            yield re.sub(r"\.\d+$", "", e["name"]), e["dur"] / 1e3
+
+
 def bucket(name: str) -> str:
     n = name.lower()
-    if "wjobs" in n or "tile_fwd" in n or "tile_bwd" in n:
+    if ("wjobs" in n or "tile_fwd" in n or "tile_bwd" in n
+            or n.startswith("sparseconv") or n.startswith("conv")
+            or n.startswith("trans_") or n.startswith("exchange")):
         return "windowed conv kernels"
-    if "flash" in n or "_fwd_kernel" in n or "_bwd_" in n:
+    if ("flash" in n or "_fwd_kernel" in n or "_bwd_" in n
+            or n.startswith("mha")):
         return "flash attention kernels"
     if n.startswith("fusion") or ".fusion" in n:
         return "XLA fusions"
@@ -45,10 +76,8 @@ def bucket(name: str) -> str:
     return "other"
 
 
-def main(trace_dir: str):
+def iter_xplane_ops(trace_dir: str):
     xs = load_xspace(trace_dir)
-    totals = collections.Counter()
-    per_op = collections.Counter()
     for plane in xs.planes:
         if "TPU" not in plane.name and "device" not in plane.name.lower():
             continue
@@ -59,9 +88,19 @@ def main(trace_dir: str):
                 continue
             for ev in line.events:
                 name = ev_meta.get(ev.metadata_id, str(ev.metadata_id))
-                dur_ms = ev.duration_ps / 1e9
-                totals[bucket(name)] += dur_ms
-                per_op[name] += dur_ms
+                yield name, ev.duration_ps / 1e9
+
+
+def main(trace_dir: str):
+    try:
+        ops = list(iter_xplane_ops(trace_dir))
+    except ImportError:
+        ops = list(iter_chrome_ops(trace_dir))
+    totals = collections.Counter()
+    per_op = collections.Counter()
+    for name, dur_ms in ops:
+        totals[bucket(name)] += dur_ms
+        per_op[name] += dur_ms
     total = sum(totals.values())
     print(f"device op time over trace: {total:.1f} ms")
     for k, v in totals.most_common():
