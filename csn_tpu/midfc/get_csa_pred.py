@@ -38,6 +38,7 @@ def main(argv=None):
     ap.add_argument("--msgpack_ckpt", type=str, default="")
     ap.add_argument("--knn_graph_dir", type=str, default="")
     ap.add_argument("--chunk_size", type=int, default=500)
+    ap.add_argument("--d_model", type=int, default=256)
     ap.add_argument("--num_points", type=int, default=10000)
     ap.add_argument("--batch_size", type=int, default=1)
     ap.add_argument("--save_pred_dir", type=str, default="",
@@ -50,7 +51,7 @@ def main(argv=None):
         logs_dir=args.logs_dir, partname=args.partname,
         num_classes=args.num_classes, n_heads=args.n_heads, K=args.K,
         batch_size=args.batch_size, chunk_size=args.chunk_size,
-        num_points=args.num_points)
+        d_model=args.d_model, num_points=args.num_points)
     runner = MidfcRunner(cfg, "csa")
 
     train_root = os.path.join(args.data_root, "train", args.partname)

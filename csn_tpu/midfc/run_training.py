@@ -3,10 +3,11 @@
 Port of `MID-FC/run_training.py` (SSA/CSA per-category launches with the
 hyperparameter tables at `run_training.py:7-23`), `run_save_knn.py` (kNN
 graph precomputation; the referenced `save_knn_graph.py` is missing upstream
-— functionality restored here), and the summary CSV collection
-(`run_training.py:123-138`). SLURM job farming maps to sequential / external
-launcher invocation: one process per category, exactly like the reference's
-one-job-per-category scheme.
+— functionality restored here), `run_csa_pred.py` (pretrained per-category
+eval loop; upstream ships it with a syntax error at `:52` — `pred` mode
+here), and the summary CSV collection (`run_training.py:123-138`). SLURM
+job farming maps to sequential / external launcher invocation: one process
+per category, exactly like the reference's one-job-per-category scheme.
 
 Usage:
   python -m csn_tpu.midfc.run_training --attention_type ssa \
@@ -49,7 +50,7 @@ def main(argv=None):
                     help="root with {train,test}/<Category>/{fc_1,point_labels}")
     ap.add_argument("--logs_root", type=str, default="logs")
     ap.add_argument("--attention_type", type=str, default="ssa",
-                    choices=["ssa", "csa", "save_knn"])
+                    choices=["ssa", "csa", "save_knn", "pred"])
     ap.add_argument("--K", type=int, default=1)
     ap.add_argument("--n_heads", type=int, default=1)
     ap.add_argument("--batch_size", type=int, default=1)
@@ -61,6 +62,7 @@ def main(argv=None):
     ap.add_argument("--end", type=int, default=16)
     ap.add_argument("--testing", action="store_true")
     ap.add_argument("--chunk_size", type=int, default=500)
+    ap.add_argument("--d_model", type=int, default=256)
     ap.add_argument("--num_points", type=int, default=10000)
     args = ap.parse_args(argv)
 
@@ -68,6 +70,13 @@ def main(argv=None):
     if at == "ssa":
         logs_base = os.path.join(
             args.logs_root, f"ssa_n_heads_{args.n_heads}", f"run_{args.run}")
+    elif at == "pred":
+        # pretrained-eval loop (`MID-FC/run_csa_pred.py`, which upstream
+        # ships with a syntax error at :52): per-category get_csa_pred over
+        # logs_root/pretrained_models/run_{run}/<Cat> checkpoints and the
+        # published knn_graphs/n_heads_{n}/<Cat> graphs when present.
+        logs_base = os.path.join(args.logs_root, "pretrained_models",
+                                 f"run_{args.run}")
     else:
         logs_base = os.path.join(
             args.logs_root,
@@ -79,6 +88,35 @@ def main(argv=None):
             continue
         train_root = os.path.join(args.data_root, "train", name)
         test_root = os.path.join(args.data_root, "test", name)
+        if at == "pred":
+            from csn_tpu.midfc import get_csa_pred
+
+            cat_dir = os.path.join(logs_base, name)
+            pred_argv = [
+                "--data_root", args.data_root,
+                "--logs_dir", cat_dir,
+                "--partname", name,
+                "--num_classes", str(SEG_NUM[k]),
+                "--n_heads", str(args.n_heads),
+                "--K", str(args.K),
+                "--batch_size", str(args.batch_size),
+                "--chunk_size", str(args.chunk_size),
+                "--d_model", str(args.d_model),
+                "--num_points", str(args.num_points),
+            ]
+            msgpack = os.path.join(cat_dir, "trained_layers.msgpack")
+            pth = os.path.join(cat_dir, "trained_layers.pth")
+            if os.path.exists(msgpack):
+                pred_argv += ["--msgpack_ckpt", msgpack]
+            elif os.path.exists(pth):
+                pred_argv += ["--torch_ckpt", pth]
+            graph_dir = os.path.join(args.logs_root, "pretrained_models",
+                                     "knn_graphs", f"n_heads_{args.n_heads}",
+                                     name)
+            if os.path.exists(os.path.join(graph_dir, "test.npy")):
+                pred_argv += ["--knn_graph_dir", graph_dir]
+            ious[name] = get_csa_pred.main(pred_argv) * 100
+            continue
         cfg = MidfcConfig(
             logs_dir=os.path.join(logs_base, name), partname=name,
             num_classes=SEG_NUM[k], n_heads=args.n_heads, K=args.K,
@@ -86,7 +124,7 @@ def main(argv=None):
             weight_decay=args.weight_decay,
             gradient_accumulation_steps=args.gradient_accumulation_steps,
             testing=args.testing, chunk_size=args.chunk_size,
-            num_points=args.num_points)
+            d_model=args.d_model, num_points=args.num_points)
 
         if at == "ssa":
             best, _ = train_ssa(cfg, FeaturesDataset(train_root,
@@ -127,6 +165,14 @@ def main(argv=None):
         for name, iou in ious.items():
             print(f"name: {name}, iou: {iou}")
         print(f"\n mean_IoU: {mean_iou}\n")
+        if at == "pred":
+            os.makedirs(logs_base, exist_ok=True)
+            out_csv = os.path.join(logs_base, "part_IoU_summaries.csv")
+            with open(out_csv, "w") as f:
+                f.write("," + ",".join(ious) + ",mean\n")
+                f.write("0," + ",".join(f"{v}" for v in ious.values())
+                        + f",{mean_iou}\n")
+            print(f"-> {out_csv}")
     return ious
 
 

@@ -326,3 +326,48 @@ def test_paper_figure_tooling(tmp_path):
     assert out == n
     b = np.load(os.path.join(root, "render_neigh", "Chair", "shape_1.npy"))
     assert b.shape[1] == 4  # pts(3)+labels
+
+
+def test_run_training_pred_mode(tmp_path):
+    """`pred` loop of the launcher (reference `MID-FC/run_csa_pred.py`, which
+    upstream ships with a syntax error): per-category get_csa_pred over the
+    pretrained_models/run_{run} layout, aggregated part_IoU_summaries.csv."""
+    import numpy as np
+
+    from csn_tpu.midfc import run_training
+    from csn_tpu.midfc.data import write_synthetic_midfc
+    from csn_tpu.midfc.training import MidfcConfig, MidfcRunner, _save
+
+    root = str(tmp_path)
+    P, C = 24, 8
+    for split in ("train", "test"):
+        write_synthetic_midfc(os.path.join(root, "data", split, "Bed"),
+                              n_shapes=4, num_points=P, channels=C,
+                              num_classes=5, seed=0)
+
+    # a "pretrained" CSA checkpoint in the reference's layout (Bed: 15 cls)
+    cfg = MidfcConfig(partname="Bed", num_classes=15, n_heads=2, K=1,
+                      batch_size=1, d_model=C, chunk_size=P // 2,
+                      num_points=P)
+    runner = MidfcRunner(cfg, "csa")
+    rng = np.random.default_rng(0)
+    f0 = rng.normal(size=(1, P, C)).astype(np.float32)
+    runner.initialize(f0, np.repeat(f0[:, None], cfg.K + 1, axis=1))
+    cat_dir = os.path.join(root, "logs", "pretrained_models", "run_1", "Bed")
+    os.makedirs(cat_dir, exist_ok=True)
+    _save(runner.params, os.path.join(cat_dir, "trained_layers.msgpack"))
+
+    ious = run_training.main([
+        "--data_root", os.path.join(root, "data"),
+        "--logs_root", os.path.join(root, "logs"),
+        "--attention_type", "pred", "--K", "1", "--n_heads", "2",
+        "--batch_size", "1", "--chunk_size", str(P // 2),
+        "--d_model", str(C), "--num_points", str(P),
+        "--start", "0", "--end", "0",
+    ])
+    assert set(ious) == {"Bed"} and 0.0 <= ious["Bed"] <= 100.0
+    summary = os.path.join(root, "logs", "pretrained_models", "run_1",
+                           "part_IoU_summaries.csv")
+    assert os.path.exists(summary)
+    # the per-category CSV of get_csa_pred is written inside the cat dir too
+    assert os.path.exists(os.path.join(cat_dir, "part_IoU_summaries.csv"))
