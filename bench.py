@@ -137,6 +137,101 @@ def run_e2e():
     }))
 
 
+def run_infer():
+    """Inference throughput (the north star names 'shapes/sec train + infer
+    per chip', BASELINE.json): forward + voxel->point interpolation + the
+    reference's argmax-over-labels-1.. readout (`lib/trainer_csn.py:466`),
+    no backward. Run: BENCH_MODE=infer python bench.py.
+
+    vs_baseline: forward-only ME on V100 is ~1/3 of its ~0.8-1.0 s train
+    iter -> ~25-35 query shapes/sec; we use 30.0 as the denominator."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/tmp/jaxcache"))
+    except Exception:
+        pass
+
+    from csn_tpu.config import Config
+    from csn_tpu.core.interp import interpolate_to_points
+    from csn_tpu.data.pipeline import collate_shapes, pyramid_spec_for_model
+    from csn_tpu.models import load_model
+
+    B, P, VOXEL = 8, 10000, 0.05
+    K = int(os.environ.get("BENCH_K", "1"))
+    NUM_CLASSES = 39
+    rng = np.random.default_rng(0)
+    cls = load_model("HRNetSimCSN3S")
+    amp = os.environ.get("BENCH_DTYPE", Config().resolved_compute_dtype())
+    model = cls(out_channels=NUM_CLASSES, conv1_kernel_size=5, d_model=256,
+                n_head=4, k_neighbors=K,
+                use_flash=os.environ.get("BENCH_FLASH", "1") == "1",
+                compute_dtype=amp)
+    spec = pyramid_spec_for_model(
+        cls, num_points=P, voxel_size=VOXEL, conv1_kernel_size=5,
+        level0_cap=5632, shrink=3.0,
+        use_windows=os.environ.get("BENCH_WINDOWS", "1") == "1")
+    qb = collate_shapes([make_surface_shape(rng, P) for _ in range(B)],
+                        spec, rng=rng).to_jax()
+    kbs = tuple(collate_shapes([make_surface_shape(rng, P)
+                                for _ in range(B)], spec, rng=rng).to_jax()
+                for _ in range(K))
+    variables = jax.jit(
+        lambda r, b, ks: model.init(r, b, ks, train=False))(
+        jax.random.PRNGKey(0), qb, kbs)
+
+    @jax.jit
+    def infer_step(variables, qb, kbs, eps):
+        out = model.apply(variables, qb, kbs, train=False)
+        pl = interpolate_to_points(out, qb.interp_idx, qb.interp_w,
+                                   qb.point_to_voxel)
+        # label 0 is never predicted (`lib/trainer_csn.py:466`)
+        pred = jnp.argmax(pl[..., 1:] + eps, axis=-1) + 1
+        return pred.sum().astype(jnp.float32)
+
+    # Timing methodology forced by the axon relay: per-iter
+    # block_until_ready both LIES for pipelined executions (sub-ms
+    # "steady states" observed even with fresh random inputs) and, when
+    # honest, adds a tunnel sync round-trip per iter. So measure a CHAIN —
+    # each step's eps carries a term from the previous step's output,
+    # making the sequence un-memoizable and strictly ordered — and fetch
+    # one scalar at the end. The carried term (~1e-14) rounds away in f32,
+    # leaving each step's computation identical.
+    acc = None
+
+    def chain(n):
+        nonlocal acc
+        t0 = time.time()
+        for _ in range(n):
+            e = jnp.float32(rng.uniform(1e-6, 2e-6))
+            acc = infer_step(variables, qb, kbs,
+                             e + acc * jnp.float32(1e-20))
+        float(np.asarray(acc))  # forces the whole chain
+        return (time.time() - t0) / n
+
+    t0 = time.time()
+    acc = infer_step(variables, qb, kbs, jnp.float32(1e-6))
+    float(np.asarray(acc))
+    print(f"[bench-infer] compile+first: {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    print(f"[bench-infer] warmup chain: {chain(3) * 1e3:.1f} ms/step",
+          file=sys.stderr)
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    dt = chain(iters)
+    throughput = B / dt
+    print(f"[bench-infer] steady-state: {dt * 1e3:.1f} ms/step "
+          f"({throughput:.2f} query shapes/sec; K={K})", file=sys.stderr)
+    print(json.dumps({
+        "metric": "csn_infer_throughput",
+        "value": round(throughput, 3),
+        "unit": "shapes/sec",
+        "vs_baseline": round(throughput / 30.0, 3),
+    }))
+
+
 def main():
     import jax
 
@@ -283,5 +378,8 @@ def main():
 if __name__ == "__main__":
     if os.environ.get("BENCH_E2E", "0") == "1" or "--e2e" in sys.argv:
         run_e2e()
+    elif (os.environ.get("BENCH_MODE", "") == "infer"
+          or "--infer" in sys.argv):
+        run_infer()
     else:
         main()
