@@ -167,9 +167,11 @@ def weakest_vmem_budget(lqp, dk_dim, dv, block_q, block_k, n_tmp: int = 5):
     blocks = (block_q * (dk_dim + dv)            # q, do
               + block_k * (dk_dim + dv) * 2      # k, v + dk, dv out
               + 4 * block_q + 2 * block_k        # lse, delta, masks
-              + lqp * dk_dim)                    # resident dq plane
+              + lqp * dk_dim)                    # f32 dq accumulator scratch
     tmps = n_tmp * block_q * block_k * 4
-    return max(16 * 1024 * 1024, 4 * blocks * 4 + tmps + (1 << 20))
+    dq_out_plane = lqp * dk_dim * 4              # resident dq out (<= f32)
+    return max(16 * 1024 * 1024,
+               4 * blocks * 4 + tmps + dq_out_plane + (1 << 20))
 
 
 def _pad_to(x, axis, block):
@@ -268,15 +270,17 @@ def _flash_forward(q, k, v, kv_mask, q_mask, temperature: float,
 
 def _bwd_fused_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                       delta_ref, mask_ref, qmask_ref, dk_ref, dv_ref, dq_ref,
-                      dk_scratch, dv_scratch, *, temperature: float,
-                      num_q_blocks: int, block_q: int, dropout: float):
+                      dk_scratch, dv_scratch, dq_scratch, *,
+                      temperature: float, num_q_blocks: int,
+                      num_k_blocks: int, block_q: int, dropout: float):
     """ONE backward pass emits dK, dV AND dQ.
 
     Grid (bh, ki, qi). The classic flash split runs a second (bh, qi, ki)
-    kernel for dQ that recomputes s/p/dp from scratch; here dQ lives in a
-    VMEM-resident [lqp, D] output block (index constant within a bh) and
-    each (ki, qi) visit accumulates its ds @ k contribution — one extra
-    matmul instead of a whole second pass (~35% of backward time)."""
+    kernel for dQ that recomputes s/p/dp from scratch; here dQ accumulates
+    in a VMEM-resident [lqp, D] f32 scratch plane and each (ki, qi) visit
+    adds its ds @ k contribution — one extra matmul instead of a whole
+    second pass (~35% of backward time). The plane is cast+flushed to the
+    (possibly bf16) dq output once per bh at the last grid step."""
     bh = pl.program_id(0)
     ki = pl.program_id(1)
     qi = pl.program_id(2)
@@ -288,7 +292,7 @@ def _bwd_fused_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
         @pl.when(ki == 0)
         def _init_dq():
-            dq_ref[...] = jnp.zeros_like(dq_ref)
+            dq_scratch[...] = jnp.zeros_like(dq_scratch)
 
     msk = mask_ref[0, 0]
     # Fully masked kv block => p == 0 everywhere => dk = dv = 0 and no dq
@@ -344,7 +348,7 @@ def _bwd_fused_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
             dimension_numbers=(((0,), (0,)), ((), ())),
             precision=jax.lax.Precision.DEFAULT,
             preferred_element_type=jnp.float32)        # [BK, D]
-        dq_ref[0, pl.ds(qi * block_q, block_q), :] += jax.lax.dot_general(
+        dq_scratch[pl.ds(qi * block_q, block_q), :] += jax.lax.dot_general(
             dsb, k,
             dimension_numbers=(((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.DEFAULT,
@@ -354,6 +358,10 @@ def _bwd_fused_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     def _finalize():
         dk_ref[0] = dk_scratch[...].astype(dk_ref.dtype)
         dv_ref[0] = dv_scratch[...].astype(dv_ref.dtype)
+
+        @pl.when(ki == num_k_blocks - 1)
+        def _flush_dq():
+            dq_ref[0] = dq_scratch[...].astype(dq_ref.dtype)
 
 
 def _flash_backward(q, k, v, kv_mask, q_mask, out, lse, g, temperature: float,
@@ -384,8 +392,8 @@ def _flash_backward(q, k, v, kv_mask, q_mask, out, lse, g, temperature: float,
                 else jnp.asarray(seed, jnp.int32).reshape(1, 1))
 
     kernel = functools.partial(_bwd_fused_kernel, temperature=temperature,
-                               num_q_blocks=nq, block_q=block_q,
-                               dropout=dropout)
+                               num_q_blocks=nq, num_k_blocks=nk,
+                               block_q=block_q, dropout=dropout)
     dk, dv_out, dq = pl.pallas_call(
         kernel,
         grid=(b * h, nk, nq),
@@ -410,13 +418,20 @@ def _flash_backward(q, k, v, kv_mask, q_mask, out, lse, g, temperature: float,
             pl.BlockSpec((1, lqp, dk_dim), lambda bh, ki, qi: (bh, 0, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b * h, lkp, dk_dim), jnp.float32),
-            jax.ShapeDtypeStruct((b * h, lkp, dv), jnp.float32),
-            jax.ShapeDtypeStruct((b * h, lqp, dk_dim), jnp.float32),
+            # dk/dv accumulate in f32 scratch and are written once at
+            # finalize — emitting them in k/v dtype moves the (bitwise
+            # identical) f32->bf16 cast into the kernel's store, deleting
+            # two [b*h, lkp, D] XLA convert passes (~1 ms/step measured).
+            # dq accumulates IN its output ref across kv blocks, so it
+            # must stay f32.
+            jax.ShapeDtypeStruct((b * h, lkp, dk_dim), k.dtype),
+            jax.ShapeDtypeStruct((b * h, lkp, dv), v.dtype),
+            jax.ShapeDtypeStruct((b * h, lqp, dk_dim), q.dtype),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_k, dk_dim), jnp.float32),
             pltpu.VMEM((block_k, dv), jnp.float32),
+            pltpu.VMEM((lqp, dk_dim), jnp.float32),
         ],
         # the resident dq plane (+ double-buffered in/out blocks) slightly
         # exceeds the default 16 MB scoped-vmem budget at L0-size lqp
