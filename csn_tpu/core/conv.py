@@ -132,13 +132,15 @@ def _tvjp_fwd(feats, weights, kmap, kmap_t, win_starts, win_starts_t, mirror,
 def _tvjp_bwd(mirror, win_group, win_window, win_window_t, input_grad,
               win_align, win_align_t, res, g):
     feats, weights, kmap, kmap_t, win_starts_t = res
-    g = g.astype(jnp.float32)
     # weight paired with the transpose-map offset k: mirrored for same-level
     # maps (offset -o lives at index K-1-k in product order), identity for
     # down/up pairs.
     w_for_t = weights[::-1] if mirror else weights
 
     if win_starts_t is not None:
+        # no f32 upcast of g here: the windowed kernel DMAs bf16 windows
+        # (window_conv._pad_feats casts), so an upcast would only
+        # materialize a dead f32 copy
         # Windowed fused backward over the transpose map's worklist (== the
         # forward worklist for same-level maps). One Pallas pass emits
         # d_feats AND dW — see core/window_conv.py. Stem convs consume raw

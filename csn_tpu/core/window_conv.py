@@ -344,7 +344,7 @@ def _dot(a, b, dims):
 
 
 def _wjobs_fwd_kernel(meta_ref, kmap_ref, feats_hbm, w_ref, out_ref,
-                      win_scratch, sem, *,
+                      win_scratch, sem, acc_ref, *,
                       group: int, window: int, n_in: int, cap: int,
                       nbuf: int, pack: int, c_pack: int):
     j = pl.program_id(0)
@@ -372,11 +372,12 @@ def _wjobs_fwd_kernel(meta_ref, kmap_ref, feats_hbm, w_ref, out_ref,
         def _():
             dma((j + 1) % nbuf, j + 1).start()
 
-    # the out block is VMEM-resident across all jobs of its tile (the block
-    # index only changes between tiles): accumulate into it directly
+    # accumulate a tile's jobs in the f32 VMEM scratch (persists across the
+    # tile's grid steps); the F_LAST job casts+writes the out block, so the
+    # output can carry the (possibly bf16) activation dtype
     @pl.when((flags & F_FIRST) != 0)
     def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
 
     @pl.when(active)
     def _():
@@ -392,15 +393,19 @@ def _wjobs_fwd_kernel(meta_ref, kmap_ref, feats_hbm, w_ref, out_ref,
             gthr = _dot(onehot, win_bf, ((1,), (0,)))   # [T, pack*c_pack]
             if pack > 1:
                 gthr = _lane_select(gthr, rows, start, pack, c_pack)
-            out_ref[...] += _dot(gthr.astype(jnp.bfloat16), w_ref[k],
+            acc_ref[...] += _dot(gthr.astype(jnp.bfloat16), w_ref[k],
                                  ((1,), (0,)))                 # [T, Cout]
             return ()
 
         jax.lax.fori_loop(0, group, body, (), unroll=True)
 
+    @pl.when((flags & F_LAST) != 0)
+    def _():
+        out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
 
 def _wjobs_bwd_kernel(meta_ref, kmap_ref, f_tile_ref, g_hbm, wt_ref,
-                      dfeats_ref, dw_ref, win_scratch, sem, *,
+                      dfeats_ref, dw_ref, win_scratch, sem, acc_ref, *,
                       group: int, window: int, n_in: int,
                       cap: int, nbuf: int, pack: int, c_pack: int,
                       dw_only: bool = False):
@@ -441,7 +446,7 @@ def _wjobs_bwd_kernel(meta_ref, kmap_ref, f_tile_ref, g_hbm, wt_ref,
 
     @pl.when((flags & F_FIRST) != 0)
     def _():
-        dfeats_ref[...] = jnp.zeros_like(dfeats_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
 
     @pl.when(active)
     def _():
@@ -460,12 +465,16 @@ def _wjobs_bwd_kernel(meta_ref, kmap_ref, f_tile_ref, g_hbm, wt_ref,
                 gg = _lane_select(gg, rows, start, pack, c_pack)
             ggb = gg.astype(jnp.bfloat16)
             if not dw_only:
-                dfeats_ref[...] += _dot(ggb, wt_ref[k],
-                                        ((1,), (0,)))          # [T, Cin]
+                acc_ref[...] += _dot(ggb, wt_ref[k],
+                                     ((1,), (0,)))             # [T, Cin]
             dw_ref[k, :, :] += _dot(f_bf, ggb, ((0,), (0,)))
             return ()
 
         jax.lax.fori_loop(0, group, body, (), unroll=True)
+
+    @pl.when((flags & F_LAST) != 0)
+    def _():
+        dfeats_ref[...] = acc_ref[...].astype(dfeats_ref.dtype)
 
 
 def tile_grid_enabled() -> bool:
@@ -480,7 +489,7 @@ def tile_grid_enabled() -> bool:
 
 
 def _tile_fwd_kernel(meta_ref, kmap_ref, feats_hbm, w_ref, out_ref,
-                     win_scratch, sem, *,
+                     win_scratch, sem, acc_ref, *,
                      group: int, window: int, n_in: int, cap: int,
                      nbuf: int, pack: int, c_pack: int, n_tiles: int):
     t = pl.program_id(0)
@@ -506,7 +515,9 @@ def _tile_fwd_kernel(meta_ref, kmap_ref, feats_hbm, w_ref, out_ref,
     def _():
         dma(0, 0).start()
 
-    out_ref[...] = jnp.zeros_like(out_ref)
+    # accumulate the tile in f32 scratch; one cast+store at the end lets
+    # the output carry the (possibly bf16) activation dtype
+    acc_ref[...] = jnp.zeros_like(acc_ref)
 
     def job_body(j, _):
         @pl.when(jnp.logical_and(j + 1 < meta_ref[4 * cap + n_tiles],
@@ -528,7 +539,7 @@ def _tile_fwd_kernel(meta_ref, kmap_ref, feats_hbm, w_ref, out_ref,
                 gthr = _dot(onehot, win_bf, ((1,), (0,)))
                 if pack > 1:
                     gthr = _lane_select(gthr, rows, start, pack, c_pack)
-                out_ref[...] += _dot(gthr.astype(jnp.bfloat16), w_ref[k],
+                acc_ref[...] += _dot(gthr.astype(jnp.bfloat16), w_ref[k],
                                      ((1,), (0,)))
                 return ()
 
@@ -537,10 +548,11 @@ def _tile_fwd_kernel(meta_ref, kmap_ref, feats_hbm, w_ref, out_ref,
         return ()
 
     jax.lax.fori_loop(lo, hi, job_body, ())
+    out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
 
 def _tile_bwd_kernel(meta_ref, kmap_ref, f_tile_ref, g_hbm, wt_ref,
-                     dfeats_ref, dw_ref, win_scratch, sem, *,
+                     dfeats_ref, dw_ref, win_scratch, sem, acc_ref, *,
                      group: int, window: int, n_in: int, cap: int,
                      nbuf: int, pack: int, c_pack: int, n_tiles: int,
                      dw_only: bool = False):
@@ -565,7 +577,7 @@ def _tile_bwd_kernel(meta_ref, kmap_ref, f_tile_ref, g_hbm, wt_ref,
         def _():
             dma(0, 0).start()
 
-    dfeats_ref[...] = jnp.zeros_like(dfeats_ref)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
 
     def job_body(j, _):
         @pl.when(jnp.logical_and(j + 1 < meta_ref[4 * cap + n_tiles],
@@ -590,7 +602,7 @@ def _tile_bwd_kernel(meta_ref, kmap_ref, f_tile_ref, g_hbm, wt_ref,
                     gg = _lane_select(gg, rows, start, pack, c_pack)
                 ggb = gg.astype(jnp.bfloat16)
                 if not dw_only:
-                    dfeats_ref[...] += _dot(ggb, wt_ref[k], ((1,), (0,)))
+                    acc_ref[...] += _dot(ggb, wt_ref[k], ((1,), (0,)))
                 dw_ref[k, :, :] += _dot(f_bf, ggb, ((0,), (0,)))
                 return ()
 
@@ -599,6 +611,7 @@ def _tile_bwd_kernel(meta_ref, kmap_ref, f_tile_ref, g_hbm, wt_ref,
         return ()
 
     jax.lax.fori_loop(lo, hi, job_body, ())
+    dfeats_ref[...] = acc_ref[...].astype(dfeats_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -703,15 +716,17 @@ def window_conv_fwd(feats, kmap, meta, weights, *, group: int,
         scratch_shapes=[
             pltpu.VMEM((nbuf, window // pack, pack * c_pack), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.VMEM((TILE, cout), jnp.float32),
         ],
     )
+    # accumulation stays f32 (in the VMEM acc scratch — 27+ offset
+    # contributions per row); the single tile store casts to the activation
+    # dtype, halving the output HBM write + downstream reads under bf16
     out = pl.pallas_call(
         kern, grid_spec=grid_spec,
-        # accumulate in f32 regardless of the activation dtype (27+ offset
-        # contributions per row); cast at the boundary
-        out_shape=jax.ShapeDtypeStruct((n_out + opad, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_out + opad, cout), feats.dtype),
     )(meta.reshape(-1), kmap_p, feats_p, w_p)
-    return out[:n_out].astype(feats.dtype)
+    return out[:n_out]
 
 
 def window_conv_bwd(feats, g, kmap_t, meta, weights_pair, *, group: int,
@@ -787,12 +802,16 @@ def window_conv_bwd(feats, g, kmap_t, meta, weights_pair, *, group: int,
         scratch_shapes=[
             pltpu.VMEM((nbuf, window // pack, glanes), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.VMEM((TILE, cin), jnp.float32),
         ],
     )
+    # d_feats accumulates f32 in the acc scratch and stores once per tile
+    # in the activation dtype (the cotangent the upstream layer consumes);
+    # dW keeps its f32 resident block (accumulated across the whole grid)
     d_feats, d_w_t = pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((n_out + opad, cin), jnp.float32),
+            jax.ShapeDtypeStruct((n_out + opad, cin), feats.dtype),
             jax.ShapeDtypeStruct((K, cin, glanes), jnp.float32),
         ),
     )(meta.reshape(-1), kmap_p, f_p, g_p, wt)
