@@ -111,6 +111,13 @@ class Config:
                                      # apparent bf16 gap was the dropout
                                      # block-raster bug, see STATUS)
     data_parallel: int = 1           # devices for DP (parallel/ module)
+    cached_eval: bool = False        # CSN eval: precompute per-key backbone
+                                     # features once over the train collection
+                                     # (HRNetSimCSN.cache_features) and feed
+                                     # csa_from_cache, instead of re-forwarding
+                                     # K neighbor backbones per query batch
+                                     # (the reference re-forwards every
+                                     # neighbor, `lib/trainer_csn.py:442-454`)
 
     def voxel_size(self) -> float:
         """Derived from the dataset name (PartnetVoxelization0_05Dataset...)"""

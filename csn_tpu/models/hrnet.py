@@ -358,6 +358,69 @@ class HRNetSimCSN(HRNetBase):
         out = jnp.concatenate([q_out, csa.astype(q_out.dtype)], axis=-1)
         return self.out_head(out).astype(jnp.float32)
 
+    def cache_features(self, batch, train: bool = False):
+        """Per-shape cache for cached-collection CSA evaluation.
+
+        Returns (fc_feats [B, L0, d] activation-dtype, ssa_pool [B, d] f32):
+        exactly the two per-key quantities `__call__` derives from a key
+        batch — `feats[B:]` (the cross-attention K/V, `models/hrnet.py:
+        398-410`) and the mean-pooled SSA it feeds to the compatibility
+        softmax (`models/hrnet.py:377-396`). Computing them once per
+        collection shape replaces the reference's per-query neighbor
+        re-forward (`lib/trainer_csn.py:442-454`)."""
+        mask = batch.masks[0]
+        feats = self._features(batch, train)
+        ssa = self._ssa(feats, mask, train)
+        return feats, global_avg_pool(ssa, mask)
+
+    def csa_from_cache(self, batch, key_feats, key_pools, key_masks,
+                       train: bool = False):
+        """CSA forward with PRECOMPUTED neighbor features — the eval-time
+        counterpart of `__call__(batch, keys)` that skips the K neighbor
+        backbone passes entirely.
+
+        key_feats [B, K, L0, d] (activation dtype), key_pools [B, K, d] f32,
+        key_masks [B, K, L0] bool — per-query rows of a `cache_features`
+        collection cache, gathered host-side (single chip) or over ICI
+        (`parallel/collection.py`). Output matches `__call__` exactly in
+        eval mode (BN running stats; dropout off)."""
+        qmask = batch.masks[0]
+        B, L0 = qmask.shape
+        K = key_feats.shape[1]
+        q_out = self._features(batch, train)
+        q_ssa = self._ssa(q_out, qmask, train)
+
+        # compatibility softmax over [self]+K (`models/hrnet.py:377-396`)
+        q_pool = global_avg_pool(q_ssa, qmask)            # [B, d] f32
+        pools = jnp.concatenate([q_pool[:, None], key_pools], axis=1)
+        q_glob = self.linear_q(q_pool)
+        q_glob = q_glob / jnp.maximum(
+            jnp.linalg.norm(q_glob, axis=-1, keepdims=True), 1e-12)
+        k_glob = self.linear_k(pools)                     # [B, K+1, d]
+        k_glob = k_glob / jnp.maximum(
+            jnp.linalg.norm(k_glob, axis=-1, keepdims=True), 1e-12)
+        sim = jnp.einsum("bd,bkd->bk", q_glob, k_glob) / (
+            float(self.d_model) ** 0.5)
+        comp = jax.nn.softmax(sim, axis=-1)               # [B, K+1]
+
+        # cross attentions, keys laid out K-major to mirror feats[B:] in
+        # __call__ (concat order [batch, key_0, key_1, ...])
+        k_out = key_feats.astype(q_out.dtype).transpose(1, 0, 2, 3).reshape(
+            K * B, L0, self.d_model)
+        k_mask = key_masks.transpose(1, 0, 2).reshape(K * B, L0)
+        q_rep = jnp.broadcast_to(
+            q_out[None], (K,) + q_out.shape).reshape(K * B, L0, self.d_model)
+        q_rep_mask = jnp.broadcast_to(
+            qmask[None], (K,) + qmask.shape).reshape(K * B, L0)
+        cross = self.mha(q_rep, k_out, k_out, k_mask, q_rep_mask, train=train)
+        cross = cross.reshape(K, B, L0, self.d_model)
+        cross = jnp.where(qmask[None, ..., None], cross, 0.0)
+        csa = comp[:, 0, None, None] * q_ssa + jnp.einsum(
+            "bk,kbld->bld", comp[:, 1:], cross)
+
+        out = jnp.concatenate([q_out, csa.astype(q_out.dtype)], axis=-1)
+        return self.out_head(out).astype(jnp.float32)
+
 
 class HRNetSeg2S(HRNetSeg):
     FEAT_FACTOR = 2

@@ -26,6 +26,7 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from csn_tpu.config import Config
 from csn_tpu.core.pyramid import PyramidSpec, build_voxel_batch
@@ -419,6 +420,7 @@ class BaseTrainer:
         Mink metric definitions, loss and precision@1 averages."""
         bs = max(self.config.test_batch_size, 1)
         gbs = bs * self.n_dev
+        self._prepare_eval(dataset)
         losses, scores, ious = AverageMeter(), AverageMeter(), {}
         n = len(dataset)
         shape_id = 0
@@ -457,9 +459,8 @@ class BaseTrainer:
                 # [:valid])
                 qb_host.point_mask[valid:] = False
                 qb = qb_host.to_jax()
-                keys = self._fetch_eval_keys(dataset, idxs)
-                loss, point_logits, pred = self._eval_step(
-                    self.params, self.batch_stats, qb, keys)
+                loss, point_logits, pred = self._eval_forward(
+                    dataset, idxs, qb)
                 pred = np.asarray(pred)
                 labels = np.asarray(qb_host.labels)
                 mask = np.asarray(qb_host.point_mask)
@@ -490,6 +491,14 @@ class BaseTrainer:
 
     def _fetch_eval_keys_dp(self, dataset, chunks):
         return ()
+
+    def _prepare_eval(self, dataset):
+        """Hook run once at the top of `test_on` (CSN cached-eval builds the
+        key-collection cache here)."""
+
+    def _eval_forward(self, dataset, idxs, qb):
+        return self._eval_step(self.params, self.batch_stats, qb,
+                               self._fetch_eval_keys(dataset, idxs))
 
     # -- checkpointing --------------------------------------------------------
     def _tree_state(self):
@@ -619,6 +628,9 @@ class CSNTrainer(BaseTrainer):
         self.cooldown = self.MAX_COOLDOWN
         self.n_graph_construction = 0
         self._ssa_step = jax.jit(self._make_ssa_step())
+        self._cache_step = None
+        self._cached_eval_step = None
+        self._collection_cache = None
 
     def _uses_keys(self) -> bool:
         return True
@@ -666,6 +678,86 @@ class CSNTrainer(BaseTrainer):
                     augment=False))
             keys.append(stack_batches(kbs))
         return tuple(keys)
+
+    # -- cached-collection eval ----------------------------------------------
+    # `--cached_eval`: forward every train-collection shape ONCE through the
+    # backbone (`HRNetSimCSN.cache_features`), keep the per-shape K/V features
+    # + pooled SSA on the host (f16/f32), and evaluate queries with
+    # `csa_from_cache` — a single-B backbone pass per batch instead of the
+    # (K+1)-B combined pass. The reference re-forwards every neighbor per
+    # query (`lib/trainer_csn.py:442-454`). Single-device eval only (the DP
+    # eval path keeps the combined pass).
+    def _make_cache_step(self):
+        def cache_step(params, batch_stats, qb):
+            return self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, qb,
+                method="cache_features")
+
+        return cache_step
+
+    def _make_cached_eval_step(self):
+        def eval_step(params, batch_stats, qb, key_feats, key_pools,
+                      key_masks):
+            out = self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, qb,
+                key_feats, key_pools, key_masks, method="csa_from_cache")
+            point_logits = interpolate_to_points(
+                out, qb.interp_idx, qb.interp_w, qb.point_to_voxel)
+            loss = cross_entropy_ignore(
+                point_logits, qb.labels, self.config.ignore_label,
+                qb.point_mask)
+            return loss, point_logits, predict_nonzero(point_logits)
+
+        return eval_step
+
+    def build_collection_cache(self):
+        """Cache (features, ssa_pool, mask) for every train-collection shape.
+
+        Host footprint N*L0*d f16 — the same budget as the retrieval
+        descriptor cache `_all_ssa_descriptors` already holds (and what the
+        reference keeps CPU-side in `csn_utils.py:66-83`). Rebuilt on every
+        `test_on` call because it is a function of the current params."""
+        if self._cache_step is None:
+            self._cache_step = jax.jit(self._make_cache_step())
+        ds = self.train_dataset
+        bs = max(self.config.test_batch_size, 1)
+        n = len(ds)
+        feats_out, pools_out, masks_out = [], [], []
+        for start in range(0, n, bs):
+            idxs = list(range(start, min(start + bs, n)))
+            valid = len(idxs)
+            while len(idxs) < bs:
+                idxs.append(idxs[-1])
+            kb = build_batch_from_dataset(ds, idxs, self.spec, self.rng,
+                                          augment=False)
+            feats, pools = self._cache_step(self.params, self.batch_stats,
+                                            kb.to_jax())
+            feats_out.append(np.asarray(feats[:valid], dtype=np.float16))
+            pools_out.append(np.asarray(pools[:valid], dtype=np.float32))
+            masks_out.append(np.asarray(kb.masks[0])[:valid])
+        self._collection_cache = (np.concatenate(feats_out),
+                                  np.concatenate(pools_out),
+                                  np.concatenate(masks_out))
+
+    def _prepare_eval(self, dataset):
+        if (self.config.cached_eval and self.K > 0 and self.n_dev == 1):
+            logging.info("===> Building cached-eval collection (%d shapes)",
+                         len(self.train_dataset))
+            self.build_collection_cache()
+            if self._cached_eval_step is None:
+                self._cached_eval_step = jax.jit(
+                    self._make_cached_eval_step())
+
+    def _eval_forward(self, dataset, idxs, qb):
+        if self._collection_cache is None or self.K <= 0 or self.n_dev > 1:
+            return super()._eval_forward(dataset, idxs, qb)
+        feats, pools, masks = self._collection_cache
+        nbr = np.asarray([[dataset.neighbors[idx][1][i]
+                           for i in range(self.K)] for idx in idxs])  # [B,K]
+        return self._cached_eval_step(
+            self.params, self.batch_stats, qb,
+            jnp.asarray(feats[nbr]), jnp.asarray(pools[nbr]),
+            jnp.asarray(masks[nbr]))
 
     # -- shape graph ----------------------------------------------------------
     def _all_ssa_descriptors(self, dataset):
