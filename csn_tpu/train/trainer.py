@@ -441,9 +441,8 @@ class BaseTrainer:
                 for gi in range(valid, gbs):
                     hosts[gi // bs].point_mask[gi % bs] = False
                 qb = stack_batches(hosts)
-                keys = self._fetch_eval_keys_dp(dataset, chunks)
-                loss, point_logits, pred = self._eval_step(
-                    self.params, self.batch_stats, qb, keys)
+                loss, point_logits, pred = self._eval_forward_dp(
+                    dataset, chunks, qb)
                 labels = np.concatenate([h.labels for h in hosts])
                 mask = np.concatenate([h.point_mask for h in hosts])
                 pred = np.asarray(pred).reshape(gbs, -1)
@@ -499,6 +498,10 @@ class BaseTrainer:
     def _eval_forward(self, dataset, idxs, qb):
         return self._eval_step(self.params, self.batch_stats, qb,
                                self._fetch_eval_keys(dataset, idxs))
+
+    def _eval_forward_dp(self, dataset, chunks, qb):
+        return self._eval_step(self.params, self.batch_stats, qb,
+                               self._fetch_eval_keys_dp(dataset, chunks))
 
     # -- checkpointing --------------------------------------------------------
     def _tree_state(self):
@@ -631,6 +634,8 @@ class CSNTrainer(BaseTrainer):
         self._cache_step = None
         self._cached_eval_step = None
         self._collection_cache = None
+        self._collection_cache_dev = None  # sharded (feats, pools, masks, per)
+        self._dp_cached_eval_step = None
 
     def _uses_keys(self) -> bool:
         return True
@@ -685,8 +690,10 @@ class CSNTrainer(BaseTrainer):
     # + pooled SSA on the host (f16/f32), and evaluate queries with
     # `csa_from_cache` — a single-B backbone pass per batch instead of the
     # (K+1)-B combined pass. The reference re-forwards every neighbor per
-    # query (`lib/trainer_csn.py:442-454`). Single-device eval only (the DP
-    # eval path keeps the combined pass).
+    # query (`lib/trainer_csn.py:442-454`). Under `--data_parallel N` the
+    # cache is built DP (one collection batch per chip) and SHARDED over the
+    # mesh — each chip holds N/n_dev shapes — with neighbor rows fetched
+    # over ICI per eval batch (parallel/collection.py, SURVEY §5.8).
     def _make_cache_step(self):
         def cache_step(params, batch_stats, qb):
             return self.model.apply(
@@ -739,14 +746,60 @@ class CSNTrainer(BaseTrainer):
                                   np.concatenate(pools_out),
                                   np.concatenate(masks_out))
 
+    def build_collection_cache_dp(self):
+        """DP cache build + mesh placement: forward n_dev collection batches
+        per step (`make_dp_cache_step`), then `shard_collection` the f16
+        feature cache over the mesh so each chip holds N/n_dev shapes."""
+        from csn_tpu.parallel import collection as pc
+        from csn_tpu.parallel.dp import stack_batches
+
+        if self._cache_step is None:
+            self._cache_step = pc.make_dp_cache_step(self.model, self.mesh)
+        ds = self.train_dataset
+        bs = max(self.config.test_batch_size, 1)
+        gbs = bs * self.n_dev
+        n = len(ds)
+        feats_out, pools_out, masks_out = [], [], []
+        for start in range(0, n, gbs):
+            idxs = list(range(start, min(start + gbs, n)))
+            valid = len(idxs)
+            while len(idxs) < gbs:
+                idxs.append(idxs[-1])
+            chunks = [idxs[d * bs:(d + 1) * bs] for d in range(self.n_dev)]
+            hosts = [build_batch_from_dataset(ds, ch, self.spec, self.rng,
+                                              augment=False)
+                     for ch in chunks]
+            feats, pools = self._cache_step(self.params, self.batch_stats,
+                                            stack_batches(hosts))
+            L0, d = feats.shape[-2:]
+            feats_out.append(np.asarray(feats, np.float16)
+                             .reshape(gbs, L0, d)[:valid])
+            pools_out.append(np.asarray(pools, np.float32)
+                             .reshape(gbs, d)[:valid])
+            masks_out.append(np.concatenate(
+                [np.asarray(h.masks[0]) for h in hosts])[:valid])
+        cf, cp, cm, per = pc.shard_collection(
+            np.concatenate(feats_out), np.concatenate(pools_out),
+            np.concatenate(masks_out), self.mesh)
+        self._collection_cache_dev = (cf, cp, cm, per)
+        if self._dp_cached_eval_step is None:
+            self._dp_cached_eval_step = pc.make_dp_cached_eval_step(
+                self.model, self.mesh, per=per,
+                ignore_label=self.config.ignore_label)
+
     def _prepare_eval(self, dataset):
-        if (self.config.cached_eval and self.K > 0 and self.n_dev == 1):
-            logging.info("===> Building cached-eval collection (%d shapes)",
-                         len(self.train_dataset))
-            self.build_collection_cache()
-            if self._cached_eval_step is None:
-                self._cached_eval_step = jax.jit(
-                    self._make_cached_eval_step())
+        if self.config.cached_eval and self.K > 0:
+            logging.info("===> Building cached-eval collection (%d shapes%s)",
+                         len(self.train_dataset),
+                         f", sharded over {self.n_dev} chips"
+                         if self.n_dev > 1 else "")
+            if self.n_dev > 1:
+                self.build_collection_cache_dp()
+            else:
+                self.build_collection_cache()
+                if self._cached_eval_step is None:
+                    self._cached_eval_step = jax.jit(
+                        self._make_cached_eval_step())
 
     def _eval_forward(self, dataset, idxs, qb):
         if self._collection_cache is None or self.K <= 0 or self.n_dev > 1:
@@ -758,6 +811,16 @@ class CSNTrainer(BaseTrainer):
             self.params, self.batch_stats, qb,
             jnp.asarray(feats[nbr]), jnp.asarray(pools[nbr]),
             jnp.asarray(masks[nbr]))
+
+    def _eval_forward_dp(self, dataset, chunks, qb):
+        if self._collection_cache_dev is None or self.K <= 0:
+            return super()._eval_forward_dp(dataset, chunks, qb)
+        cf, cp, cm, _per = self._collection_cache_dev
+        idx = np.asarray([[[dataset.neighbors[i][1][k]
+                            for k in range(self.K)] for i in ch]
+                          for ch in chunks], np.int32)  # [n_dev, B, K]
+        return self._dp_cached_eval_step(self.params, self.batch_stats, qb,
+                                         cf, cp, cm, jnp.asarray(idx))
 
     # -- shape graph ----------------------------------------------------------
     def _all_ssa_descriptors(self, dataset):
