@@ -183,9 +183,35 @@ def run_infer():
         lambda r, b, ks: model.init(r, b, ks, train=False))(
         jax.random.PRNGKey(0), qb, kbs)
 
+    # BENCH_CACHED=1: the `--cached_eval` forward — neighbor K/V from the
+    # precomputed collection cache (csa_from_cache), single-B backbone pass
+    # instead of (K+1)-B. Cache build cost is amortized over the whole query
+    # split in real eval, so steady-state ms/step is the honest comparison.
+    cached = os.environ.get("BENCH_CACHED", "0") == "1"
+    if cached:
+        cache_fn = jax.jit(
+            lambda v, b: model.apply(v, b, method="cache_features"))
+        t0 = time.time()
+        cf = [jax.tree_util.tree_map(np.asarray, cache_fn(variables, kb))
+              for kb in kbs]
+        print(f"[bench-infer] cache build ({K} key batches): "
+              f"{time.time() - t0:.1f}s (incl. compile)", file=sys.stderr)
+        key_args = (jnp.stack([jnp.asarray(c[0]) for c in cf], 1),
+                    jnp.stack([jnp.asarray(c[1]) for c in cf], 1),
+                    jnp.stack([kb.masks[0] for kb in kbs], 1))
+
+        def forward(variables, qb, keys):
+            return model.apply(variables, qb, *keys,
+                               method="csa_from_cache")
+    else:
+        key_args = kbs
+
+        def forward(variables, qb, keys):
+            return model.apply(variables, qb, keys, train=False)
+
     @jax.jit
     def infer_step(variables, qb, kbs, eps):
-        out = model.apply(variables, qb, kbs, train=False)
+        out = forward(variables, qb, kbs)
         pl = interpolate_to_points(out, qb.interp_idx, qb.interp_w,
                                    qb.point_to_voxel)
         # label 0 is never predicted (`lib/trainer_csn.py:466`)
@@ -207,13 +233,13 @@ def run_infer():
         t0 = time.time()
         for _ in range(n):
             e = jnp.float32(rng.uniform(1e-6, 2e-6))
-            acc = infer_step(variables, qb, kbs,
+            acc = infer_step(variables, qb, key_args,
                              e + acc * jnp.float32(1e-20))
         float(np.asarray(acc))  # forces the whole chain
         return (time.time() - t0) / n
 
     t0 = time.time()
-    acc = infer_step(variables, qb, kbs, jnp.float32(1e-6))
+    acc = infer_step(variables, qb, key_args, jnp.float32(1e-6))
     float(np.asarray(acc))
     print(f"[bench-infer] compile+first: {time.time() - t0:.1f}s",
           file=sys.stderr)
@@ -225,7 +251,8 @@ def run_infer():
     print(f"[bench-infer] steady-state: {dt * 1e3:.1f} ms/step "
           f"({throughput:.2f} query shapes/sec; K={K})", file=sys.stderr)
     print(json.dumps({
-        "metric": "csn_infer_throughput",
+        "metric": ("csn_cached_infer_throughput" if cached
+                   else "csn_infer_throughput"),
         "value": round(throughput, 3),
         "unit": "shapes/sec",
         "vs_baseline": round(throughput / 30.0, 3),
