@@ -173,7 +173,9 @@ def run_infer():
     spec = pyramid_spec_for_model(
         cls, num_points=P, voxel_size=VOXEL, conv1_kernel_size=5,
         level0_cap=5632, shrink=3.0,
-        use_windows=os.environ.get("BENCH_WINDOWS", "1") == "1")
+        use_windows=os.environ.get("BENCH_WINDOWS", "1") == "1",
+        dense_stem_grid=(None if os.environ.get("BENCH_DENSE_STEM",
+                                                "0") == "1" else 0))
     qb = collate_shapes([make_surface_shape(rng, P) for _ in range(B)],
                         spec, rng=rng).to_jax()
     kbs = tuple(collate_shapes([make_surface_shape(rng, P)
@@ -302,9 +304,11 @@ def main():
     use_windows = os.environ.get("BENCH_WINDOWS", "1") == "1"
     # level0 cap 5632: smallest cap with zero voxel truncation for this
     # fixed-seed batch (a 5120 cap silently drops ~1% of voxels)
-    spec = pyramid_spec_for_model(cls, num_points=P, voxel_size=VOXEL,
-                                  conv1_kernel_size=5, level0_cap=5632,
-                                  shrink=3.0, use_windows=use_windows)
+    spec = pyramid_spec_for_model(
+        cls, num_points=P, voxel_size=VOXEL, conv1_kernel_size=5,
+        level0_cap=5632, shrink=3.0, use_windows=use_windows,
+        dense_stem_grid=(None if os.environ.get("BENCH_DENSE_STEM",
+                                                "0") == "1" else 0))
 
     t0 = time.time()
     qb_host = collate_shapes([make_surface_shape(rng, P) for _ in range(B)],

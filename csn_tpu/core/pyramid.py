@@ -93,6 +93,12 @@ class PyramidSpec:
     # convs run the Pallas windowed-gather kernel (core/window_conv.py,
     # fixed WINDOW source rows per job). TPU-only: leave False on CPU.
     use_windows: bool = False
+    # Dense-grid stem conv (core/conv.py dense_stem_conv): G > 0 ships
+    # per-shape level-0 cell coordinates so raw-data stems (Cin < 16) run as
+    # ONE dense 3D convolution on a [G, G, G] per-shape grid — exact
+    # (non-voxel cells are zero) and MXU-shaped, vs ksize^3 one-hot gathers.
+    # 0 disables; batches whose level-0 extent exceeds G fall back (logged).
+    dense_stem_grid: int = 0
 
     @property
     def num_levels(self) -> int:
@@ -153,6 +159,11 @@ class VoxelBatch:
     num_voxels: List[np.ndarray]  # level l: [B] int32 true counts
     dropped: List[int]            # voxels dropped per level due to caps
 
+    # Per-shape level-0 cell coords on the dense stem grid (uint8, sentinel
+    # 255 for padded rows) when spec.dense_stem_grid > 0; else None.
+    stem_cells: Optional[np.ndarray] = None
+    stem_grid: int = 0            # the grid G the cells index into
+
     def to_jax(self, compact: bool = True):
         """Device pytree. `compact=True` (default) minimizes host->device
         wire bytes (VERDICT r2 #5 — kernel-map tables dominate the ~46 MB
@@ -203,6 +214,9 @@ class VoxelBatch:
             interp_idx=jnp.asarray(interp_idx),
             interp_w=f16(self.interp_w),
             point_to_voxel=jnp.asarray(self.point_to_voxel),
+            stem_cells=(None if self.stem_cells is None
+                        else jnp.asarray(self.stem_cells)),
+            stem_grid=self.stem_grid,
         )
 
 
@@ -270,6 +284,9 @@ try:
         interp_idx: _jnp.ndarray
         interp_w: _jnp.ndarray
         point_to_voxel: _jnp.ndarray
+        # dense-stem-grid cell coords (uint8 wire, sentinel 255) + static G
+        stem_cells: Optional[_jnp.ndarray] = None
+        stem_grid: int = _struct.field(pytree_node=False, default=0)
 
         @property
         def batch_size(self) -> int:
@@ -409,6 +426,10 @@ def concat_jax_batches(batches: Sequence["JaxVoxelBatch"]) -> "JaxVoxelBatch":
         interp_w=cat(lambda b: b.interp_w),
         point_to_voxel=remap_cat([b.point_to_voxel for b in batches], 0,
                                  axis=0),
+        # per-shape grid coords: batch-offset-free by construction
+        stem_cells=(None if any(b.stem_cells is None for b in batches)
+                    else cat(lambda b: b.stem_cells)),
+        stem_grid=b0.stem_grid,
     )
 
 
@@ -717,6 +738,32 @@ def build_voxel_batch(
         interp_idx[b, :p] = np.where(ok, b * L0 + li, B * L0).astype(np.int32)
         interp_w[b, :p] = np.where(ok, lw, 0.0)
 
+    # Dense stem grid: per-shape min-corner-shifted level-0 cell coords.
+    # Sentinel 255 marks padded rows (255 >= G always: G is capped at 254);
+    # any shape whose level-0 extent exceeds G disables the grid for the
+    # whole batch (gather/windowed fallback — one retrace; logged).
+    stem_cells = None
+    G = spec.dense_stem_grid
+    if G:
+        assert G <= 254, f"dense_stem_grid {G} > 254 (uint8 wire + sentinel)"
+        stem_cells = np.full((B, L0, 3), 255, dtype=np.uint8)
+        for b in range(B):
+            n = int(num_voxels[0][b])
+            if n == 0:
+                continue
+            c = coords[0][b, :n].astype(np.int64)
+            sc = c - c.min(axis=0)
+            if int(sc.max(initial=0)) >= G:
+                import logging
+
+                logging.warning(
+                    "dense stem grid disabled for this batch: level-0 "
+                    "extent %d >= G=%d (gather/windowed fallback, retrace)",
+                    int(sc.max()) + 1, G)
+                stem_cells = None
+                break
+            stem_cells[b, :n] = sc.astype(np.uint8)
+
     if spec.use_windows:
         # Windowed-conv job worklists for every odd-kernel map — same-level
         # k3/k5 AND strided down/up (key translation preserves sorted order
@@ -763,4 +810,6 @@ def build_voxel_batch(
         point_to_voxel=point_to_voxel,
         num_voxels=num_voxels,
         dropped=dropped,
+        stem_cells=stem_cells,
+        stem_grid=G if stem_cells is not None else 0,
     )

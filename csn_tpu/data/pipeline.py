@@ -25,13 +25,26 @@ def pyramid_spec_for_model(
     qmode: QMode = QMode.RANDOM_SUBSAMPLE,
     shrink: float = 3.0,
     use_windows: bool = False,
+    dense_stem_grid: Optional[int] = 0,
 ) -> PyramidSpec:
-    """Derive the static pyramid signature a model needs."""
+    """Derive the static pyramid signature a model needs.
+
+    dense_stem_grid: per-shape grid side G for the dense stem conv
+    (core/conv.py dense_stem_conv). 0 = off (DEFAULT: measured a wash vs
+    the windowed one-hot stem on v5e — scatter/gather row costs eat the
+    conv win; see STATUS perf series). None = auto: G sized for sphere/
+    box-normalized inputs (extent <= ~2.6 world units incl. augmentation
+    slack) at this voxel size, disabled when the grid would be
+    unreasonably large (tiny voxels) — batches that overflow G fall back
+    per-batch anyway."""
     nl = model_cls.num_levels()
     maps = model_cls.pyramid_requirements(conv1_kernel_size)
     if level_caps is None:
         base = level0_cap if level0_cap is not None else num_points
         level_caps = default_level_caps(base, nl, shrink=shrink)
+    if dense_stem_grid is None:
+        g = int(np.ceil(2.6 / voxel_size)) + 2
+        dense_stem_grid = g if g ** 3 <= 320_000 and g <= 254 else 0
     return PyramidSpec(
         voxel_size=voxel_size,
         num_points=num_points,
@@ -39,6 +52,7 @@ def pyramid_spec_for_model(
         maps=tuple(maps),
         qmode=qmode,
         use_windows=use_windows,
+        dense_stem_grid=dense_stem_grid,
     )
 
 

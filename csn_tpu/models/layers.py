@@ -79,6 +79,25 @@ class SparseConv(nn.Module):
         from csn_tpu.core.pyramid import decode_kmap
 
         b, l_in, _ = x.shape
+        ksz = int(self.map_name.rsplit("k", 1)[1])
+        # Dense-grid stem path (core/conv.py dense_stem_conv): level-0
+        # stride-1 odd-kernel convs on raw low-Cin data run as ONE dense 3D
+        # conv on per-shape [G,G,G] grids — exact, and far off the one-hot
+        # gather's per-offset overhead at Cin < 16.
+        if (getattr(batch, "stem_cells", None) is not None
+                and self.map_name == f"same0k{ksz}" and ksz % 2 == 1
+                and x.shape[-1] < 16):
+            from csn_tpu.core.conv import dense_stem_conv
+
+            w = self.param("kernel", _conv_kernel_init,
+                           (ksz ** 3, x.shape[-1], self.features))
+            out = dense_stem_conv(x, batch.stem_cells, w, batch.stem_grid,
+                                  ksz, input_grad=self.input_grad)
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (self.features,))
+                out = out + bias[None, None, :]
+            return out
         # int16 wire tables -> absolute int32 indices (XLA CSEs the decode
         # across the many convs sharing one map)
         kmap = decode_kmap(batch.kmaps[self.map_name], b * l_in)

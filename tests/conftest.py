@@ -25,11 +25,24 @@ if os.environ.get("RUN_TPU_TESTS", "0") != "1":
 # CPU; tests validate numerics against float64 references, so pin f32.
 jax.config.update("jax_default_matmul_precision", "float32")
 
-# persistent compilation cache across test runs
+# persistent compilation cache across test runs. The cache key must include
+# the HOST CPU's feature set: this VM's underlying machine changes between
+# sessions, and XLA:CPU AOT entries compiled with e.g. +prefer-no-gather
+# mis-execute on hosts without it (observed as a flaky numeric failure in
+# test_bfloat16_compute_dtype_forward_and_grads with a cpu_aot_loader
+# machine-feature mismatch warning).
 try:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+        suffix = hashlib.sha1(flags.encode()).hexdigest()[:8]
+    except OSError:
+        suffix = "nohost"
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                     "/tmp/jaxcache"))
+                                     f"/tmp/jaxcache-{suffix}"))
 except Exception:
     pass
 
