@@ -156,7 +156,7 @@ def run_infer():
         pass
 
     from csn_tpu.config import Config
-    from csn_tpu.core.interp import interpolate_to_points
+    from csn_tpu.core.interp import interp_batch
     from csn_tpu.data.pipeline import collate_shapes, pyramid_spec_for_model
     from csn_tpu.models import load_model
 
@@ -214,8 +214,7 @@ def run_infer():
     @jax.jit
     def infer_step(variables, qb, kbs, eps):
         out = forward(variables, qb, kbs)
-        pl = interpolate_to_points(out, qb.interp_idx, qb.interp_w,
-                                   qb.point_to_voxel)
+        pl = interp_batch(out, qb)
         # label 0 is never predicted (`lib/trainer_csn.py:466`)
         pred = jnp.argmax(pl[..., 1:] + eps, axis=-1) + 1
         return pred.sum().astype(jnp.float32)
@@ -272,7 +271,7 @@ def main():
     except Exception:
         pass
 
-    from csn_tpu.core.interp import interpolate_to_points
+    from csn_tpu.core.interp import interp_batch
     from csn_tpu.data.pipeline import collate_shapes, pyramid_spec_for_model
     from csn_tpu.models import load_model
     from csn_tpu.train.losses import cross_entropy_ignore
@@ -348,7 +347,7 @@ def main():
             out, new_vars = model.apply(
                 {"params": p, "batch_stats": stats}, qb, kbs, train=True,
                 mutable=["batch_stats"], rngs={"dropout": rng})
-            pl = interpolate_to_points(out, qb.interp_idx, qb.interp_w, qb.point_to_voxel)
+            pl = interp_batch(out, qb)
             loss = cross_entropy_ignore(pl, qb.labels, 255, qb.point_mask)
             return loss, new_vars["batch_stats"]
 

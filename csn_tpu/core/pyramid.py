@@ -99,6 +99,13 @@ class PyramidSpec:
     # (non-voxel cells are zero) and MXU-shaped, vs ksize^3 one-hot gathers.
     # 0 disables; batches whose level-0 extent exceeds G fall back (logged).
     dense_stem_grid: int = 0
+    # Sort each shape's points by containing level-0 voxel at batch build.
+    # Semantically free (per-point arrays permute together; loss/metrics are
+    # permutation-invariant) and it makes the interp corner tables window-
+    # able: with it, batches carry 'win!interp_f'/'win!interp_b' worklists
+    # so the voxel<->point readout runs the Pallas windowed kernels
+    # (core/interp_window.py) instead of XLA's row gather / serial scatter.
+    sort_points: bool = False
 
     @property
     def num_levels(self) -> int:
@@ -348,6 +355,11 @@ def concat_jax_batches(batches: Sequence["JaxVoxelBatch"]) -> "JaxVoxelBatch":
 
     kmaps = {}
     for name in b0.kmaps:
+        if name.startswith("win!interp"):
+            # interp worklists are only consumed on ORIGINAL query batches
+            # (trainers interpolate with qb, never the combined batch), and
+            # their point-tile grids don't concatenate; drop them.
+            continue
         if name.startswith("win!"):
             # Window-job metas [5, cap] = tiles|groups|starts|flags|0: tiles
             # shift by each batch's OUTPUT-tile offset, starts by its source
@@ -681,14 +693,27 @@ def build_voxel_batch(
     for b, (c, f, lab) in enumerate(shapes):
         p = pts_all[b].shape[0]
         pts = pts_all[b]
+        f_p = np.asarray(f[:p])
+        lab_p = np.asarray(lab[:p]).reshape(-1)
+        tabs = tabs_all[b]
+        if spec.sort_points:
+            # voxel-sorted point order (see PyramidSpec.sort_points): every
+            # per-point array permutes together, so nothing downstream
+            # changes semantically
+            perm = np.argsort(tabs["p2v"], kind="stable")
+            pts = pts[perm]
+            f_p = f_p[perm]
+            lab_p = lab_p[perm]
+            tabs = {**tabs, "p2v": tabs["p2v"][perm],
+                    "interp_idx": tabs["interp_idx"][perm],
+                    "interp_w": tabs["interp_w"][perm]}
         points[b, :p] = pts.astype(np.float32)
-        point_feats[b, :p] = f[:p]
-        labels[b, :p] = np.asarray(lab[:p]).reshape(-1)
+        point_feats[b, :p] = f_p
+        labels[b, :p] = lab_p
         point_mask[b, :p] = True
 
-        tabs = tabs_all[b]
         p2v = tabs["p2v"]
-        feats_p = np.asarray(f[:p], dtype=np.float32)
+        feats_p = np.asarray(f_p, dtype=np.float32)
         n0_full = tabs["coords"][0].shape[0]
         n0 = min(n0_full, L0)
         dropped[0] += n0_full - n0
@@ -795,6 +820,15 @@ def build_voxel_batch(
             logging.warning(
                 "windowed conv disabled for this batch (gather fallback, "
                 "retrace): %s", e)
+
+    if spec.use_windows and spec.sort_points:
+        # windowed interp worklists (core/interp_window.py) — valid because
+        # sort_points makes the corner tables near-monotone
+        from csn_tpu.core.interp_window import build_interp_windows
+
+        iw = build_interp_windows(interp_idx, B * L0)
+        if iw is not None:
+            kmaps["win!interp_f"], kmaps["win!interp_b"] = iw
 
     return VoxelBatch(
         points=points,

@@ -26,6 +26,7 @@ def pyramid_spec_for_model(
     shrink: float = 3.0,
     use_windows: bool = False,
     dense_stem_grid: Optional[int] = 0,
+    sort_points: Optional[bool] = None,
 ) -> PyramidSpec:
     """Derive the static pyramid signature a model needs.
 
@@ -53,6 +54,9 @@ def pyramid_spec_for_model(
         qmode=qmode,
         use_windows=use_windows,
         dense_stem_grid=dense_stem_grid,
+        # voxel-sorted points ride with the windowed-kernel path by default
+        # (they enable the windowed interp worklists; see PyramidSpec)
+        sort_points=use_windows if sort_points is None else sort_points,
     )
 
 

@@ -60,15 +60,15 @@ def extract_split(model, variables, dataset, spec, out_root: str,
     written."""
     import jax
 
-    from csn_tpu.core.interp import interpolate_to_points
+    from csn_tpu.core.interp import interp_batch
     from csn_tpu.train.losses import predict_nonzero
     from csn_tpu.train.trainer import build_batch_from_dataset
 
     @jax.jit
     def step(variables, qb):
         logits, fc1 = model.apply(variables, qb, train=False, return_fc1=True)
-        pt_fc1 = interpolate_to_points(fc1, qb.interp_idx, qb.interp_w, qb.point_to_voxel)
-        pt_logits = interpolate_to_points(logits, qb.interp_idx, qb.interp_w, qb.point_to_voxel)
+        pt_fc1 = interp_batch(fc1, qb)
+        pt_logits = interp_batch(logits, qb)
         return pt_fc1, predict_nonzero(pt_logits)
 
     dirs = {n: os.path.join(out_root, n)
@@ -114,14 +114,14 @@ def export_from_model(out_root: str, model, variables, batches,
     out per-point features via trilinear interpolation."""
     import jax
 
-    from csn_tpu.core.interp import interpolate_to_points
+    from csn_tpu.core.interp import interp_batch
 
     name_it = iter(names)
     out = []
     for vb in batches:
         jb = vb.to_jax() if hasattr(vb, "to_jax") else vb
         feats = model.apply(variables, jb, train=False, return_ssa=True)
-        pt_feats = np.asarray(interpolate_to_points(feats, jb.interp_idx, jb.interp_w, jb.point_to_voxel))
+        pt_feats = np.asarray(interp_batch(feats, jb))
         labels = np.asarray(jb.labels)
         mask = np.asarray(jb.point_mask)
         for b in range(pt_feats.shape[0]):

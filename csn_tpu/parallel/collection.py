@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from csn_tpu.core.interp import interpolate_to_points
+from csn_tpu.core.interp import interp_batch
 from csn_tpu.train.losses import cross_entropy_ignore, predict_nonzero
 
 
@@ -131,8 +131,7 @@ def make_dp_cached_eval_step(model, mesh: Mesh, *, per: int,
             kf, kp, km = exchange_rows(cf, cp, cm, idx_all, axis, per)
             out = model.apply({"params": params, "batch_stats": batch_stats},
                               qb, kf, kp, km, method="csa_from_cache")
-            point_logits = interpolate_to_points(
-                out, qb.interp_idx, qb.interp_w, qb.point_to_voxel)
+            point_logits = interp_batch(out, qb)
             loss = cross_entropy_ignore(point_logits, qb.labels, ignore_label,
                                         qb.point_mask)
             return (loss[None], point_logits[None],

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from csn_tpu.core.interp import interpolate_to_points
+from csn_tpu.core.interp import interp_batch
 from csn_tpu.train.losses import cross_entropy_ignore
 
 
@@ -79,7 +79,7 @@ def make_dp_train_step(model, optimizer, mesh: Mesh, *, k_neighbors: int = 0,
                     {"params": p, "batch_stats": batch_stats}, qb,
                     train=True, mutable=["batch_stats"],
                     rngs={"dropout": rng})
-            point_logits = interpolate_to_points(out, qb.interp_idx, qb.interp_w, qb.point_to_voxel)
+            point_logits = interp_batch(out, qb)
             loss = cross_entropy_ignore(point_logits, qb.labels, ignore_label,
                                         qb.point_mask)
             return loss, new_vars["batch_stats"]
@@ -154,7 +154,7 @@ def make_dp_eval_step(model, mesh: Mesh, *, k_neighbors: int = 0,
                 out = model.apply({"params": params,
                                    "batch_stats": batch_stats}, qb,
                                   train=False)
-            pl = interpolate_to_points(out, qb.interp_idx, qb.interp_w, qb.point_to_voxel)
+            pl = interp_batch(out, qb)
             return pl[None]
 
         return shard_map(inner, mesh=mesh, in_specs=(rep, rep, shd, shd),
@@ -206,7 +206,7 @@ def make_dp_trainer_steps(model, mesh: Mesh, *, k_neighbors: int = 0,
             def loss_fn(p):
                 out, new_vars = apply_model(p, batch_stats, qb, keys, True,
                                             True, r[0])
-                point_logits = interpolate_to_points(out, qb.interp_idx, qb.interp_w, qb.point_to_voxel)
+                point_logits = interp_batch(out, qb)
                 loss = cross_entropy_ignore(point_logits, qb.labels,
                                             ignore_label, qb.point_mask)
                 return loss, (new_vars["batch_stats"], point_logits)
@@ -232,7 +232,7 @@ def make_dp_trainer_steps(model, mesh: Mesh, *, k_neighbors: int = 0,
             keys = tuple(unstack(k) for k in sk)
             out = apply_model(params, batch_stats, qb, keys, False, False,
                               None)
-            point_logits = interpolate_to_points(out, qb.interp_idx, qb.interp_w, qb.point_to_voxel)
+            point_logits = interp_batch(out, qb)
             loss = cross_entropy_ignore(point_logits, qb.labels, ignore_label,
                                         qb.point_mask)
             from csn_tpu.train.losses import predict_nonzero

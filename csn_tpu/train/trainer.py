@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from csn_tpu.config import Config
 from csn_tpu.core.pyramid import PyramidSpec, build_voxel_batch
-from csn_tpu.core.interp import interpolate_to_points
+from csn_tpu.core.interp import interp_batch
 from csn_tpu.data.sampler import InfSampler
 from csn_tpu.retrieval import graph as retrieval
 from csn_tpu.train import metrics as M
@@ -158,7 +158,7 @@ class BaseTrainer:
                     {"params": p, "batch_stats": batch_stats}, qb, keys,
                     train=True, mutable=["batch_stats"],
                     rngs={"dropout": rng})
-                point_logits = interpolate_to_points(out, qb.interp_idx, qb.interp_w, qb.point_to_voxel)
+                point_logits = interp_batch(out, qb)
                 loss = cross_entropy_ignore(
                     point_logits, qb.labels, self.config.ignore_label,
                     qb.point_mask)
@@ -186,7 +186,7 @@ class BaseTrainer:
             out = self._apply_model(
                 {"params": params, "batch_stats": batch_stats}, qb, keys,
                 train=False, mutable=False, rngs=None)
-            point_logits = interpolate_to_points(out, qb.interp_idx, qb.interp_w, qb.point_to_voxel)
+            point_logits = interp_batch(out, qb)
             loss = cross_entropy_ignore(
                 point_logits, qb.labels, self.config.ignore_label,
                 qb.point_mask)
@@ -708,8 +708,7 @@ class CSNTrainer(BaseTrainer):
             out = self.model.apply(
                 {"params": params, "batch_stats": batch_stats}, qb,
                 key_feats, key_pools, key_masks, method="csa_from_cache")
-            point_logits = interpolate_to_points(
-                out, qb.interp_idx, qb.interp_w, qb.point_to_voxel)
+            point_logits = interp_batch(out, qb)
             loss = cross_entropy_ignore(
                 point_logits, qb.labels, self.config.ignore_label,
                 qb.point_mask)
