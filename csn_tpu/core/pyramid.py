@@ -30,6 +30,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import itertools
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -821,9 +822,11 @@ def build_voxel_batch(
                 "windowed conv disabled for this batch (gather fallback, "
                 "retrace): %s", e)
 
-    if spec.use_windows and spec.sort_points:
+    if (spec.use_windows and spec.sort_points
+            and os.environ.get("CSN_INTERP_WIN", "1") != "0"):
         # windowed interp worklists (core/interp_window.py) — valid because
-        # sort_points makes the corner tables near-monotone
+        # sort_points makes the corner tables near-monotone.
+        # CSN_INTERP_WIN=0 is the kill switch back to XLA gather/scatter.
         from csn_tpu.core.interp_window import build_interp_windows
 
         iw = build_interp_windows(interp_idx, B * L0)
