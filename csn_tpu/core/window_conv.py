@@ -143,8 +143,12 @@ def window_for_map(name: str) -> int:
 def cap_mult_for_map(name: str) -> float:
     """Job-worklist capacity headroom (jobs per (tile, group) budget). Down
     maps legitimately need ~2.7 windows per (tile, group) at W=256; padded
-    slots are near-free (inactive jobs skip DMA + compute)."""
-    return 4.0 if name.startswith("down") else 2.0
+    slots are near-free (inactive jobs skip DMA + compute). CSN_CAP_MULT
+    scales the budget for narrow-window sweeps (job counts grow ~1/W)."""
+    import os
+
+    base = 4.0 if name.startswith("down") else 2.0
+    return base * float(os.environ.get("CSN_CAP_MULT", "1.0"))
 META_ROWS = 5       # tiles | groups | starts | flags | per-tile job offsets
                     # row 4: [lo_0 .. lo_{nt-1}, n_jobs, 0...] — job index
                     # ranges per output tile (jobs are tile-sorted), used by

@@ -175,6 +175,18 @@ def main():
 
     timed_scan("interp+CE fwd+bwd (39 cls)", interp_bwd, xo)
 
+    if "win!interp_f" in jb.kmaps:
+        from csn_tpu.core.interp import interp_batch
+
+        def interp_win_bwd(c):
+            def loss(x):
+                pl = interp_batch(x, jb)
+                return cross_entropy_ignore(pl, jb.labels, 255, jb.point_mask)
+
+            return c + 1e-3 * jax.grad(loss)(c)
+
+        timed_scan("windowed interp+CE fwd+bwd (39 cls)", interp_win_bwd, xo)
+
 
 if __name__ == "__main__":
     main()
