@@ -339,6 +339,34 @@ def _lane_select(gthr, rows, start, pack: int, c_pack: int):
     return gthr * pltpu.bitcast(sel, jnp.float32)
 
 
+def dyng_enabled() -> bool:
+    """Replace the one-hot gather matmul with an in-VMEM dynamic row gather
+    (CSN_DYNG=1, tile-grid kernels, pack == 1 only). Speculative: requires
+    Mosaic to lower `jnp.take` along the sublane dim on this TPU gen
+    (probe: scripts/probe_dyngather.py). If it lowers, the per-offset work
+    drops from O(T*W) one-hot construction + [T,W]@[W,C] MXU gather to an
+    O(T*C) gather + mask — exactness-tested on TPU before any default
+    flip."""
+    import os
+
+    return os.environ.get("CSN_DYNG", "0") == "1"
+
+
+def _gather_rows(win_bf, rows, start, n_in, window):
+    """[T, lanes] f32 masked row gather: out[i] = win_bf[rows[i] - start]
+    when rows[i] is a real source inside THIS job's window, else 0. The
+    in-window mask (not just the sentinel check) is required for
+    exactness: a (tile, group) may span several jobs and each row must
+    contribute in exactly one of them."""
+    rel = rows - start
+    valid = (rows < n_in) & (rel >= 0) & (rel < window)
+    g = jnp.take(win_bf, jnp.where(valid, rel, 0), axis=0)
+    one_bits = jnp.int32(0x3F800000)
+    mask = pltpu.bitcast(jnp.where(valid, one_bits, 0)[:, None],
+                         jnp.float32)
+    return g.astype(jnp.float32) * mask
+
+
 def _dot(a, b, dims):
     # precision=DEFAULT: a global f32 matmul-precision setting would force
     # fp32 contract precision onto bf16 operands ("Bad lhs type" in Mosaic)
@@ -495,7 +523,8 @@ def tile_grid_enabled() -> bool:
 def _tile_fwd_kernel(meta_ref, kmap_ref, feats_hbm, w_ref, out_ref,
                      win_scratch, sem, acc_ref, *,
                      group: int, window: int, n_in: int, cap: int,
-                     nbuf: int, pack: int, c_pack: int, n_tiles: int):
+                     nbuf: int, pack: int, c_pack: int, n_tiles: int,
+                     dyng: bool = False):
     t = pl.program_id(0)
     # row 4 column ranges PARTITION the meta columns across tiles (padding
     # columns belong to the last tile of their batch segment after concat),
@@ -539,10 +568,13 @@ def _tile_fwd_kernel(meta_ref, kmap_ref, feats_hbm, w_ref, out_ref,
             def body(i, _):
                 k = g * group + i
                 rows = kmap_ref[k, :]
-                onehot = _onehot_tile(rows, start, n_in, window, pack)
-                gthr = _dot(onehot, win_bf, ((1,), (0,)))
-                if pack > 1:
-                    gthr = _lane_select(gthr, rows, start, pack, c_pack)
+                if dyng:
+                    gthr = _gather_rows(win_bf, rows, start, n_in, window)
+                else:
+                    onehot = _onehot_tile(rows, start, n_in, window, pack)
+                    gthr = _dot(onehot, win_bf, ((1,), (0,)))
+                    if pack > 1:
+                        gthr = _lane_select(gthr, rows, start, pack, c_pack)
                 acc_ref[...] += _dot(gthr.astype(jnp.bfloat16), w_ref[k],
                                      ((1,), (0,)))
                 return ()
@@ -559,7 +591,7 @@ def _tile_bwd_kernel(meta_ref, kmap_ref, f_tile_ref, g_hbm, wt_ref,
                      dfeats_ref, dw_ref, win_scratch, sem, acc_ref, *,
                      group: int, window: int, n_in: int, cap: int,
                      nbuf: int, pack: int, c_pack: int, n_tiles: int,
-                     dw_only: bool = False):
+                     dw_only: bool = False, dyng: bool = False):
     t = pl.program_id(0)
     lo = meta_ref[4 * cap + t]
     hi = meta_ref[4 * cap + t + 1]
@@ -600,10 +632,13 @@ def _tile_bwd_kernel(meta_ref, kmap_ref, f_tile_ref, g_hbm, wt_ref,
             def body(i, _):
                 k = g * group + i
                 rows = kmap_ref[k, :]
-                onehot = _onehot_tile(rows, start, n_in, window, pack)
-                gg = _dot(onehot, win_bf, ((1,), (0,)))
-                if pack > 1:
-                    gg = _lane_select(gg, rows, start, pack, c_pack)
+                if dyng:
+                    gg = _gather_rows(win_bf, rows, start, n_in, window)
+                else:
+                    onehot = _onehot_tile(rows, start, n_in, window, pack)
+                    gg = _dot(onehot, win_bf, ((1,), (0,)))
+                    if pack > 1:
+                        gg = _lane_select(gg, rows, start, pack, c_pack)
                 ggb = gg.astype(jnp.bfloat16)
                 if not dw_only:
                     acc_ref[...] += _dot(ggb, wt_ref[k], ((1,), (0,)))
@@ -697,7 +732,8 @@ def window_conv_fwd(feats, kmap, meta, weights, *, group: int,
         kern = functools.partial(_tile_fwd_kernel, group=group,
                                  window=window, n_in=n_in, cap=cap,
                                  nbuf=nbuf, pack=pack, c_pack=c_pack,
-                                 n_tiles=n_tiles)
+                                 n_tiles=n_tiles,
+                                 dyng=dyng_enabled() and pack == 1)
         grid = (n_tiles,)
         kmap_spec = pl.BlockSpec((K, TILE), lambda t, m: (0, t))
         out_spec = pl.BlockSpec((TILE, cout), lambda t, m: (t, 0))
@@ -776,7 +812,8 @@ def window_conv_bwd(feats, g, kmap_t, meta, weights_pair, *, group: int,
         kern = functools.partial(_tile_bwd_kernel, group=group,
                                  window=window, n_in=n_src, cap=cap,
                                  nbuf=nbuf, pack=pack, c_pack=cout_p,
-                                 n_tiles=n_tiles, dw_only=dw_only)
+                                 n_tiles=n_tiles, dw_only=dw_only,
+                                 dyng=dyng_enabled() and pack == 1)
         grid = (n_tiles,)
         kmap_spec = pl.BlockSpec((K, TILE), lambda t, m: (0, t))
         row_spec = pl.BlockSpec((TILE, cin), lambda t, m: (t, 0))

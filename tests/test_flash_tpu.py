@@ -324,21 +324,17 @@ def test_combined_csa_windows_match_gather_on_tpu():
         np.abs(outs[True] - outs[False]).max()
 
 
-def test_window_conv_lane_packed_parity_on_tpu(monkeypatch):
-    """Lane-packed windowed conv (pack p source rows into the 128-lane dim;
-    one-hot contracts over W/p packed rows + post-gather lane-group select)
-    vs the XLA gather path, at every packing the experiment supports: C=32
-    (p=4), C=64 (p=2), and the k5 stem (Cin=3, p=16 fwd / p=4 bwd).
-    Packing is opt-in (measured slower end-to-end; window_conv.pack_enabled
-    documents the series) — exactness stays covered here."""
-    monkeypatch.setenv("CSN_PACK", "1")
+def _window_conv_parity_check(rng_seed=7):
+    """Mixed-geometry batch + parity `check` closure shared by the opt-in
+    windowed-conv variants (lane packing, dynamic gather). Env knobs must be
+    set BEFORE calling (metas bake in window/align choices)."""
     from csn_tpu.core.pyramid import MapSpec, PyramidSpec, QMode, \
         build_voxel_batch
     from csn_tpu.core.window_conv import align_for_map, window_for_map, \
         window_jobs
     from csn_tpu.core.conv import sparse_conv
 
-    rng = np.random.default_rng(7)
+    rng = np.random.default_rng(rng_seed)
 
     def mixed(n=8000):
         k = n // 2
@@ -401,9 +397,45 @@ def test_window_conv_lane_packed_parity_on_tpu(monkeypatch):
                                                       1e-3), name
         assert np.abs(gw_w - gw_r).max() < 0.02 * np.abs(gw_r).max(), name
 
+    return check
+
+
+def test_window_conv_lane_packed_parity_on_tpu(monkeypatch):
+    """Lane-packed windowed conv (pack p source rows into the 128-lane dim;
+    one-hot contracts over W/p packed rows + post-gather lane-group select)
+    vs the XLA gather path, at every packing the experiment supports: C=32
+    (p=4), C=64 (p=2), and the k5 stem (Cin=3, p=16 fwd / p=4 bwd).
+    Packing is opt-in (measured slower end-to-end; window_conv.pack_enabled
+    documents the series) — exactness stays covered here."""
+    monkeypatch.setenv("CSN_PACK", "1")
+    check = _window_conv_parity_check()
     check("same0k3", 32, 32, "same0k3", True)    # p=4 fwd+bwd
     check("same0k3", 64, 64, "same0k3", True)    # p=2 fwd+bwd
     check("same0k3", 32, 64, "same0k3", True)    # p=4 fwd, p=2 bwd
     check("down0k3", 64, 128, "up0k3", False)    # p=2 fwd, p=1 bwd
     check("up0k3", 128, 64, "down0k3", False)    # p=1 fwd, p=2 bwd
     check("same0k5", 3, 32, "same0k5", True, group=25)  # p=16 fwd, p=4 bwd
+
+
+def test_window_conv_dyngather_parity_on_tpu(monkeypatch):
+    """CSN_DYNG=1 (in-VMEM `jnp.take` row gather replacing the one-hot
+    matmul in the tile-grid kernels) vs the XLA gather path — fwd + fused
+    bwd, incl. the multi-window-per-(tile,group) mask case, the k5 stem's
+    tiny channels, and the strided down/up pair. Skips (rather than fails)
+    iff Mosaic cannot lower the gather — scripts/probe_dyngather.py is the
+    standalone probe."""
+    monkeypatch.setenv("CSN_DYNG", "1")
+    check = _window_conv_parity_check(rng_seed=11)
+    try:
+        check("same0k3", 64, 64, "same0k3", True)
+    except Exception as e:  # noqa: BLE001
+        if "omparison" in str(e) or "gather" in str(e).lower() \
+                or "Mosaic" in str(e) or "lower" in str(e).lower():
+            import pytest as _pt
+            _pt.skip(f"Mosaic cannot lower the dynamic gather: "
+                     f"{str(e).splitlines()[0][:120]}")
+        raise
+    check("same0k3", 32, 64, "same0k3", True)
+    check("down0k3", 64, 128, "up0k3", False)
+    check("up0k3", 128, 64, "down0k3", False)
+    check("same0k5", 3, 32, "same0k5", True, group=25)
