@@ -339,17 +339,26 @@ def _lane_select(gthr, rows, start, pack: int, c_pack: int):
     return gthr * pltpu.bitcast(sel, jnp.float32)
 
 
-def dyng_enabled() -> bool:
-    """Replace the one-hot gather matmul with an in-VMEM dynamic row gather
-    (CSN_DYNG=1, tile-grid kernels, pack == 1 only). Speculative: requires
-    Mosaic to lower `jnp.take` along the sublane dim on this TPU gen
-    (probe: scripts/probe_dyngather.py). If it lowers, the per-offset work
-    drops from O(T*W) one-hot construction + [T,W]@[W,C] MXU gather to an
-    O(T*C) gather + mask — exactness-tested on TPU before any default
-    flip."""
+def dyng_mode() -> int:
+    """Dynamic-gather experiment mode (tile-grid kernels, pack == 1 only).
+    Speculative: requires Mosaic to lower `jnp.take` along the sublane dim
+    on this TPU gen (probe: scripts/probe_dyngather.py); exactness-tested
+    on TPU before any default flip.
+
+    CSN_DYNG=1: replace each offset's one-hot gather matmul with an
+      in-VMEM masked row gather — per-offset work drops from O(T*W) one-hot
+      construction + [T,W]@[W,C] MXU gather to O(T*C) gather + mask; the
+      per-offset [T,C]@[C,Cout] apply matmuls stay.
+    CSN_DYNG=2: im2col — gathered rows accumulate into a per-tile
+      [T, K*C] VMEM scratch (offset k owns lane block k*C; jobs of one
+      (tile, group) touch disjoint rows, so bf16 += merges exactly) and the
+      apply becomes ONE [T, K*C] @ [K*C, Cout] MXU matmul per tile (fwd);
+      bwd gets d_feats = GG @ W_T-stack and the whole dW in one
+      [Cin, T] @ [T, K*Cout] matmul per tile."""
     import os
 
-    return os.environ.get("CSN_DYNG", "0") == "1"
+    v = os.environ.get("CSN_DYNG", "0")
+    return int(v) if v in ("0", "1", "2") else 0
 
 
 def _gather_rows(win_bf, rows, start, n_in, window):
@@ -653,6 +662,131 @@ def _tile_bwd_kernel(meta_ref, kmap_ref, f_tile_ref, g_hbm, wt_ref,
     dfeats_ref[...] = acc_ref[...].astype(dfeats_ref.dtype)
 
 
+def _tile_fwd_im2col_kernel(meta_ref, kmap_ref, feats_hbm, w_ref, out_ref,
+                            win_scratch, sem, ic_ref, *,
+                            group: int, window: int, n_in: int, cap: int,
+                            nbuf: int, c_pack: int, n_tiles: int):
+    """CSN_DYNG=2 forward: masked dynamic gathers fill the [T, K*c_pack]
+    im2col scratch (offset k owns lane block k*c_pack — a 128-multiple, so
+    the dynamic-lane-offset accumulate stays tile-aligned); one MXU matmul
+    against the [K*c_pack, Cout] stacked weights per tile."""
+    t = pl.program_id(0)
+    lo = meta_ref[4 * cap + t]
+    hi = meta_ref[4 * cap + t + 1]
+
+    def dma(slot, jj):
+        start = pl.multiple_of(meta_ref[2 * cap + jj], 16)
+        return pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(start, window), :],
+            win_scratch.at[slot], sem.at[slot])
+
+    def active(jj):
+        return (meta_ref[3 * cap + jj] & F_ACTIVE) != 0
+
+    @pl.when((t == 0) & active(0))
+    def _():
+        dma(0, 0).start()
+
+    ic_ref[...] = jnp.zeros_like(ic_ref)
+
+    def job_body(j, _):
+        @pl.when(jnp.logical_and(j + 1 < meta_ref[4 * cap + n_tiles],
+                                 active(j + 1)))
+        def _():
+            dma((j + 1) % nbuf, j + 1).start()
+
+        @pl.when(active(j))
+        def _():
+            dma(j % nbuf, j).wait()
+            start = meta_ref[2 * cap + j]
+            g = meta_ref[cap + j]
+            win_bf = win_scratch[j % nbuf]
+            base = g * (group * c_pack)
+
+            def body(i, _):
+                rows = kmap_ref[g * group + i, :]
+                gthr = _gather_rows(win_bf, rows, start, n_in, window)
+                col = base + i * c_pack
+                ic_ref[:, pl.ds(col, c_pack)] += gthr.astype(jnp.bfloat16)
+                return ()
+
+            jax.lax.fori_loop(0, group, body, (), unroll=True)
+
+        return ()
+
+    jax.lax.fori_loop(lo, hi, job_body, ())
+    out_ref[...] = _dot(ic_ref[...], w_ref[...],
+                        ((1,), (0,))).astype(out_ref.dtype)
+
+
+def _tile_bwd_im2col_kernel(meta_ref, kmap_ref, f_tile_ref, g_hbm, wt_ref,
+                            dfeats_ref, dw_ref, win_scratch, sem, gg_ref, *,
+                            group: int, window: int, n_in: int, cap: int,
+                            nbuf: int, c_pack: int, n_tiles: int,
+                            dw_only: bool = False):
+    """CSN_DYNG=2 backward: the gathered-cotangent im2col GG [T, K*c_pack]
+    serves d_feats = GG @ stacked-W^T (one matmul) and the WHOLE dW via
+    f_tile^T @ GG -> [Cin, K*c_pack] (one matmul per tile; the wrapper
+    unstacks to [K, Cin, Cout])."""
+    t = pl.program_id(0)
+    lo = meta_ref[4 * cap + t]
+    hi = meta_ref[4 * cap + t + 1]
+
+    def dma(slot, jj):
+        start = pl.multiple_of(meta_ref[2 * cap + jj], 16)
+        return pltpu.make_async_copy(
+            g_hbm.at[pl.ds(start, window), :],
+            win_scratch.at[slot], sem.at[slot])
+
+    def active(jj):
+        return (meta_ref[3 * cap + jj] & F_ACTIVE) != 0
+
+    @pl.when(t == 0)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+        @pl.when(active(0))
+        def _():
+            dma(0, 0).start()
+
+    gg_ref[...] = jnp.zeros_like(gg_ref)
+
+    def job_body(j, _):
+        @pl.when(jnp.logical_and(j + 1 < meta_ref[4 * cap + n_tiles],
+                                 active(j + 1)))
+        def _():
+            dma((j + 1) % nbuf, j + 1).start()
+
+        @pl.when(active(j))
+        def _():
+            dma(j % nbuf, j).wait()
+            start = meta_ref[2 * cap + j]
+            g = meta_ref[cap + j]
+            win_bf = win_scratch[j % nbuf]
+            base = g * (group * c_pack)
+
+            def body(i, _):
+                rows = kmap_ref[g * group + i, :]
+                gthr = _gather_rows(win_bf, rows, start, n_in, window)
+                col = base + i * c_pack
+                gg_ref[:, pl.ds(col, c_pack)] += gthr.astype(jnp.bfloat16)
+                return ()
+
+            jax.lax.fori_loop(0, group, body, (), unroll=True)
+
+        return ()
+
+    jax.lax.fori_loop(lo, hi, job_body, ())
+    ggb = gg_ref[...]
+    if dw_only:
+        dfeats_ref[...] = jnp.zeros_like(dfeats_ref)
+    else:
+        dfeats_ref[...] = _dot(ggb, wt_ref[...],
+                               ((1,), (0,))).astype(dfeats_ref.dtype)
+    dw_ref[...] += _dot(f_tile_ref[...].astype(jnp.bfloat16), ggb,
+                        ((0,), (0,)))
+
+
 # ---------------------------------------------------------------------------
 # host wrappers
 # ---------------------------------------------------------------------------
@@ -728,12 +862,37 @@ def window_conv_fwd(feats, kmap, meta, weights, *, group: int,
     cap = meta.shape[-1]
 
     n_tiles = (n_out + opad) // TILE
+    dyng = dyng_mode() if (tile_grid_enabled() and pack == 1) else 0
+    if dyng == 2:
+        kern = functools.partial(_tile_fwd_im2col_kernel, group=group,
+                                 window=window, n_in=n_in, cap=cap,
+                                 nbuf=nbuf, c_pack=c_pack, n_tiles=n_tiles)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((K, TILE), lambda t, m: (0, t)),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TILE, cout), lambda t, m: (t, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((nbuf, window, c_pack), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((nbuf,)),
+                pltpu.VMEM((TILE, K * c_pack), jnp.bfloat16),
+            ],
+        )
+        out = pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_out + opad, cout),
+                                           feats.dtype),
+        )(meta.reshape(-1), kmap_p, feats_p, w_p.reshape(K * c_pack, cout))
+        return out[:n_out]
     if tile_grid_enabled():
         kern = functools.partial(_tile_fwd_kernel, group=group,
                                  window=window, n_in=n_in, cap=cap,
                                  nbuf=nbuf, pack=pack, c_pack=c_pack,
-                                 n_tiles=n_tiles,
-                                 dyng=dyng_enabled() and pack == 1)
+                                 n_tiles=n_tiles, dyng=dyng == 1)
         grid = (n_tiles,)
         kmap_spec = pl.BlockSpec((K, TILE), lambda t, m: (0, t))
         out_spec = pl.BlockSpec((TILE, cout), lambda t, m: (t, 0))
@@ -808,12 +967,48 @@ def window_conv_bwd(feats, g, kmap_t, meta, weights_pair, *, group: int,
     cap = meta.shape[-1]
 
     n_tiles = (n_out + opad) // TILE
+    dyng = dyng_mode() if (tile_grid_enabled() and pack == 1) else 0
+    if dyng == 2:
+        kern = functools.partial(_tile_bwd_im2col_kernel, group=group,
+                                 window=window, n_in=n_src, cap=cap,
+                                 nbuf=nbuf, c_pack=cout_p, n_tiles=n_tiles,
+                                 dw_only=dw_only)
+        row_spec2 = pl.BlockSpec((TILE, cin), lambda t, m: (t, 0))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((K, TILE), lambda t, m: (0, t)),
+                row_spec2,
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                row_spec2,
+                pl.BlockSpec((cin, K * cout_p), lambda t, m: (0, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((nbuf, window, cout_p), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((nbuf,)),
+                pltpu.VMEM((TILE, K * cout_p), jnp.bfloat16),
+            ],
+        )
+        d_feats, d_w_flat = pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((n_out + opad, cin), feats.dtype),
+                jax.ShapeDtypeStruct((cin, K * cout_p), jnp.float32),
+            ),
+        )(meta.reshape(-1), kmap_p, f_p, g_p,
+          wt.reshape(K * cout_p, cin))
+        d_w_t = jnp.transpose(d_w_flat.reshape(cin, K, cout_p), (1, 0, 2))
+        return d_feats[:n_out, :cin_raw], d_w_t[:, :cin_raw, :cout]
     if tile_grid_enabled():
         kern = functools.partial(_tile_bwd_kernel, group=group,
                                  window=window, n_in=n_src, cap=cap,
                                  nbuf=nbuf, pack=pack, c_pack=cout_p,
                                  n_tiles=n_tiles, dw_only=dw_only,
-                                 dyng=dyng_enabled() and pack == 1)
+                                 dyng=dyng == 1)
         grid = (n_tiles,)
         kmap_spec = pl.BlockSpec((K, TILE), lambda t, m: (0, t))
         row_spec = pl.BlockSpec((TILE, cin), lambda t, m: (t, 0))

@@ -417,14 +417,17 @@ def test_window_conv_lane_packed_parity_on_tpu(monkeypatch):
     check("same0k5", 3, 32, "same0k5", True, group=25)  # p=16 fwd, p=4 bwd
 
 
-def test_window_conv_dyngather_parity_on_tpu(monkeypatch):
+@pytest.mark.parametrize("mode", ["1", "2"])
+def test_window_conv_dyngather_parity_on_tpu(monkeypatch, mode):
     """CSN_DYNG=1 (in-VMEM `jnp.take` row gather replacing the one-hot
-    matmul in the tile-grid kernels) vs the XLA gather path — fwd + fused
-    bwd, incl. the multi-window-per-(tile,group) mask case, the k5 stem's
-    tiny channels, and the strided down/up pair. Skips (rather than fails)
-    iff Mosaic cannot lower the gather — scripts/probe_dyngather.py is the
-    standalone probe."""
-    monkeypatch.setenv("CSN_DYNG", "1")
+    matmul in the tile-grid kernels) and CSN_DYNG=2 (im2col: gathers fill a
+    [T, K*C] scratch, ONE apply matmul per tile fwd, one-matmul dW bwd) vs
+    the XLA gather path — fwd + fused bwd, incl. the
+    multi-window-per-(tile,group) mask case, the k5 stem's tiny channels,
+    and the strided down/up pair. Skips (rather than fails) iff Mosaic
+    cannot lower the gather — scripts/probe_dyngather.py is the standalone
+    probe."""
+    monkeypatch.setenv("CSN_DYNG", mode)
     check = _window_conv_parity_check(rng_seed=11)
     try:
         check("same0k3", 64, 64, "same0k3", True)

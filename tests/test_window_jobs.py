@@ -247,3 +247,84 @@ def test_meta_row4_tile_ranges():
         seen_active += int(act.sum())
     total_active = int(((m[3] & F_ACTIVE) != 0).sum())
     assert seen_active == total_active  # every active job visited once
+
+
+def test_im2col_dyngather_numpy_simulation():
+    """Numpy simulation of the CSN_DYNG=2 im2col kernels (the Mosaic
+    kernels cannot run off-TPU): replay the job worklist with masked row
+    gathers into a [T, K*c_pack] im2col buffer, apply the stacked-weight
+    matmul (fwd) / the one-matmul dW + unstack (bwd), and compare against
+    the direct gather-conv reference. Validates the lane-block layout, the
+    per-job window masking (multi-window tiles contribute each row exactly
+    once) and the [cin, K, cout] dW unstack order used by
+    window_conv_bwd's dyng == 2 path."""
+    kmap, n_io = _mixed_geometry_kmap(seed=3)
+    rng = np.random.default_rng(4)
+    K = kmap.shape[0]
+    cin, cout, group, window = 48, 24, 9, 256
+    meta = window_jobs(kmap, n_io, window=window, group=group, cap_mult=3.0)
+    feats = rng.normal(size=(n_io, cin)).astype(np.float32)
+    w = rng.normal(size=(K, cin, cout)).astype(np.float32) * 0.1
+    g = rng.normal(size=(n_io, cout)).astype(np.float32)
+
+    c_pack = -(-cin // 128) * 128
+    n_tiles = n_io // TILE
+    cap = meta.shape[1]
+    feats_p = np.zeros((n_io + window, c_pack), np.float32)
+    feats_p[:n_io, :cin] = feats
+    w_p = np.zeros((K, c_pack, cout), np.float32)
+    w_p[:, :cin] = w
+    wfull = w_p.reshape(K * c_pack, cout)
+
+    def gathers(tile, lanes, table, src_p, n_src):
+        """im2col accumulation for one output tile, as the kernel does."""
+        ic = np.zeros((TILE, K * lanes), np.float32)
+        for j in range(meta[4, tile], meta[4, tile + 1]):
+            assert meta[3, j] & F_ACTIVE
+            start, grp = meta[2, j], meta[1, j]
+            for i in range(group):
+                k = grp * group + i
+                rows = table[k, tile * TILE:(tile + 1) * TILE]
+                rel = rows - start
+                valid = (rows < n_src) & (rel >= 0) & (rel < window)
+                gthr = src_p[np.where(valid, start + np.where(valid, rel, 0),
+                                      0)] * valid[:, None]
+                ic[:, k * lanes:(k + 1) * lanes] += gthr
+        return ic
+
+    # ---- forward: per-tile im2col @ stacked weights vs direct gather conv
+    out = np.zeros((n_io, cout), np.float32)
+    for t in range(n_tiles):
+        out[t * TILE:(t + 1) * TILE] = gathers(t, c_pack, kmap,
+                                               feats_p, n_io) @ wfull
+    ref = np.zeros_like(out)
+    for k in range(K):
+        valid = kmap[k] < n_io
+        ref += np.where(valid[:, None], feats[np.minimum(kmap[k], n_io - 1)],
+                        0) @ w[k]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    # ---- backward: GG im2col serves d_feats AND the one-matmul dW --------
+    cout_p = -(-cout // 128) * 128
+    g_p = np.zeros((n_io + window, cout_p), np.float32)
+    g_p[:n_io, :cout] = g
+    wt = np.zeros((K, cout_p, cin), np.float32)
+    wt[:, :cout] = np.swapaxes(w, 1, 2)
+    wtfull = wt.reshape(K * cout_p, cin)
+    d_feats = np.zeros((n_io, cin), np.float32)
+    dw_flat = np.zeros((cin, K * cout_p), np.float32)
+    for t in range(n_tiles):
+        gg = gathers(t, cout_p, kmap, g_p, n_io)
+        d_feats[t * TILE:(t + 1) * TILE] = gg @ wtfull
+        dw_flat += feats[t * TILE:(t + 1) * TILE].T @ gg
+    d_w = np.transpose(dw_flat.reshape(cin, K, cout_p), (1, 0, 2))[:, :, :cout]
+
+    d_feats_ref = np.zeros_like(d_feats)
+    d_w_ref = np.zeros_like(d_w)
+    for k in range(K):
+        valid = kmap[k] < n_io
+        rows = np.minimum(kmap[k], n_io - 1)
+        d_feats_ref += np.where(valid[:, None], g[rows], 0) @ w[k].T
+        d_w_ref[k] = feats.T @ (g[rows] * valid[:, None])
+    np.testing.assert_allclose(d_feats, d_feats_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(d_w, d_w_ref, rtol=1e-4, atol=2e-4)
