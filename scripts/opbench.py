@@ -113,52 +113,68 @@ def main():
         fb = timed_scan(f"{name} {cin}->{cout} fwd+bwd", bwd_body, (x0, w0))
         return f, fb
 
-    conv_pair("same0k5", N0, N0, 3, 32, True)     # stem conv0
-    conv_pair("same0k3", N0, N0, 32, 64, True)    # stem conv1 (width as used)
-    conv_pair("same0k3", N0, N0, 64, 64, True)    # stage blocks L0
-    conv_pair("same1k3", N1, N1, 128, 128, True)
-    conv_pair("same2k3", N2, N2, 256, 256, True)
-    conv_pair("down0k3", N0, N1, 64, 128, False)
-    conv_pair("up0k3", N1, N0, 128, 64, False)
-    conv_pair("down1k3", N1, N2, 128, 256, False)
-    conv_pair("up1k3", N2, N1, 256, 128, False)
+    # OPBENCH_ONLY=convs|attn|interp|<map name> runs a subset (each entry is
+    # its own 1-10 min remote compile; subsets make A/B env sweeps cheap)
+    only = os.environ.get("OPBENCH_ONLY", "")
+
+    def want(section):
+        return not only or only in section
+
+    if want("convs same0k5"):
+        conv_pair("same0k5", N0, N0, 3, 32, True)     # stem conv0
+    if want("convs same0k3"):
+        conv_pair("same0k3", N0, N0, 32, 64, True)    # stem conv1
+        conv_pair("same0k3", N0, N0, 64, 64, True)    # stage blocks L0
+    if want("convs same1k3"):
+        conv_pair("same1k3", N1, N1, 128, 128, True)
+    if want("convs same2k3"):
+        conv_pair("same2k3", N2, N2, 256, 256, True)
+    if want("convs down0k3 up0k3"):
+        conv_pair("down0k3", N0, N1, 64, 128, False)
+        conv_pair("up0k3", N1, N0, 128, 64, False)
+    if want("convs down1k3 up1k3"):
+        conv_pair("down1k3", N1, N2, 128, 256, False)
+        conv_pair("up1k3", N2, N1, 256, 128, False)
 
     # attention: one SSA MHA at bench scale (B=16 combined, L0, d=256, H=4)
     from csn_tpu.ops.attention import MultiHeadAttention
 
-    mha = MultiHeadAttention(n_head=4, d_model=256, d_k=64, d_v=64,
-                             dropout=0.0, use_flash=True)
-    x0 = jnp.asarray(rng.normal(size=(B, L0, 256)).astype(np.float32))
     mask = jb.masks[0]
-    v0 = jax.jit(lambda r, x: mha.init(r, x, x, x, mask))(
-        jax.random.PRNGKey(0), x0)
+    if want("attn"):
+        mha = MultiHeadAttention(n_head=4, d_model=256, d_k=64, d_v=64,
+                                 dropout=0.0, use_flash=True)
+        x0 = jnp.asarray(rng.normal(size=(B, L0, 256)).astype(np.float32))
+        v0 = jax.jit(lambda r, x: mha.init(r, x, x, x, mask))(
+            jax.random.PRNGKey(0), x0)
 
-    def mha_fwd(c):
-        return c + 1e-6 * mha.apply(v0, c, c, c, mask)
+        def mha_fwd(c):
+            return c + 1e-6 * mha.apply(v0, c, c, c, mask)
 
-    def mha_bwd(c):
-        g = jax.grad(lambda x: jnp.sum(mha.apply(v0, x, x, x, mask) ** 2)
-                     * 1e-6)(c)
-        return c + 1e-6 * g
+        def mha_bwd(c):
+            g = jax.grad(lambda x: jnp.sum(mha.apply(v0, x, x, x, mask) ** 2)
+                         * 1e-6)(c)
+            return c + 1e-6 * g
 
-    timed_scan("MHA flash fwd (B16,L0,d256,H4)", mha_fwd, x0)
-    timed_scan("MHA flash fwd+bwd", mha_bwd, x0)
+        timed_scan("MHA flash fwd (B16,L0,d256,H4)", mha_fwd, x0)
+        timed_scan("MHA flash fwd+bwd", mha_bwd, x0)
 
     # masked BN fwd+bwd at L0 width 64
     from csn_tpu.models.layers import MaskedBatchNorm
 
-    bn = MaskedBatchNorm()
-    xb = jnp.asarray(rng.normal(size=(B, L0, 64)).astype(np.float32))
-    vb_bn = bn.init(jax.random.PRNGKey(0), xb, mask, False)
+    if want("attn bn"):
+        bn = MaskedBatchNorm()
+        xb = jnp.asarray(rng.normal(size=(B, L0, 64)).astype(np.float32))
+        vb_bn = bn.init(jax.random.PRNGKey(0), xb, mask, False)
 
-    def bn_bwd(c):
-        def loss(x):
-            y, _ = bn.apply(vb_bn, x, mask, True, mutable=["batch_stats"])
-            return jnp.sum(y * y) * 1e-6
+        def bn_bwd(c):
+            def loss(x):
+                y, _ = bn.apply(vb_bn, x, mask, True,
+                                mutable=["batch_stats"])
+                return jnp.sum(y * y) * 1e-6
 
-        return c + 1e-6 * jax.grad(loss)(c)
+            return c + 1e-6 * jax.grad(loss)(c)
 
-    timed_scan("MaskedBN L0x64 fwd+bwd", bn_bwd, xb)
+        timed_scan("MaskedBN L0x64 fwd+bwd", bn_bwd, xb)
 
     # interp + loss
     from csn_tpu.core.interp import interpolate_to_points
@@ -166,16 +182,19 @@ def main():
 
     xo = jnp.asarray(rng.normal(size=(B, L0, 39)).astype(np.float32))
 
-    def interp_bwd(c):
-        def loss(x):
-            pl = interpolate_to_points(x, jb.interp_idx, jb.interp_w)
-            return cross_entropy_ignore(pl, jb.labels, 255, jb.point_mask)
+    if want("interp"):
 
-        return c + 1e-3 * jax.grad(loss)(c)
+        def interp_bwd(c):
+            def loss(x):
+                pl = interpolate_to_points(x, jb.interp_idx, jb.interp_w)
+                return cross_entropy_ignore(pl, jb.labels, 255,
+                                            jb.point_mask)
 
-    timed_scan("interp+CE fwd+bwd (39 cls)", interp_bwd, xo)
+            return c + 1e-3 * jax.grad(loss)(c)
 
-    if "win!interp_f" in jb.kmaps:
+        timed_scan("interp+CE fwd+bwd (39 cls)", interp_bwd, xo)
+
+    if want("interp") and "win!interp_f" in jb.kmaps:
         from csn_tpu.core.interp import interp_batch
 
         def interp_win_bwd(c):
