@@ -354,11 +354,16 @@ def dyng_mode() -> int:
       (tile, group) touch disjoint rows, so bf16 += merges exactly) and the
       apply becomes ONE [T, K*C] @ [K*C, Cout] MXU matmul per tile (fwd);
       bwd gets d_feats = GG @ W_T-stack and the whole dW in one
-      [Cin, T] @ [T, K*Cout] matmul per tile."""
+      [Cin, T] @ [T, K*Cout] matmul per tile.
+    CSN_DYNG=3: im2col with STATIC group dispatch — the scratch column
+      base is g-dependent (a traced value); if Mosaic rejects the
+      dynamic-lane-offset accumulate, this variant unrolls `pl.when(g ==
+      const)` over the ng groups so every store offset is static
+      (ng x group inline gather blocks; one branch executes per job)."""
     import os
 
     v = os.environ.get("CSN_DYNG", "0")
-    return int(v) if v in ("0", "1", "2") else 0
+    return int(v) if v in ("0", "1", "2", "3") else 0
 
 
 def _gather_rows(win_bf, rows, start, n_in, window):
@@ -662,11 +667,39 @@ def _tile_bwd_kernel(meta_ref, kmap_ref, f_tile_ref, g_hbm, wt_ref,
     dfeats_ref[...] = acc_ref[...].astype(dfeats_ref.dtype)
 
 
+def _im2col_gathers(ic_ref, kmap_ref, win_bf, start, g, *, group: int,
+                    window: int, n_in: int, c_pack: int, n_groups: int,
+                    static_g: bool):
+    """Accumulate one job's `group` masked row gathers into the im2col
+    scratch. static_g unrolls pl.when(g == const) over the ng groups so
+    every scratch column offset is static (mode 3); otherwise the column
+    base is the traced g * group * c_pack (mode 2, 128-aligned)."""
+
+    def do_group(gv, base):
+        def body(i, _):
+            rows = kmap_ref[gv * group + i, :]
+            gthr = _gather_rows(win_bf, rows, start, n_in, window)
+            ic_ref[:, pl.ds(base + i * c_pack,
+                            c_pack)] += gthr.astype(jnp.bfloat16)
+            return ()
+
+        jax.lax.fori_loop(0, group, body, (), unroll=True)
+
+    if static_g:
+        for gs in range(n_groups):
+            @pl.when(g == gs)
+            def _(gs=gs):
+                do_group(gs, gs * group * c_pack)
+    else:
+        do_group(g, g * (group * c_pack))
+
+
 def _tile_fwd_im2col_kernel(meta_ref, kmap_ref, feats_hbm, w_ref, out_ref,
                             win_scratch, sem, ic_ref, *,
                             group: int, window: int, n_in: int, cap: int,
-                            nbuf: int, c_pack: int, n_tiles: int):
-    """CSN_DYNG=2 forward: masked dynamic gathers fill the [T, K*c_pack]
+                            nbuf: int, c_pack: int, n_tiles: int,
+                            n_groups: int = 1, static_g: bool = False):
+    """CSN_DYNG=2/3 forward: masked dynamic gathers fill the [T, K*c_pack]
     im2col scratch (offset k owns lane block k*c_pack — a 128-multiple, so
     the dynamic-lane-offset accumulate stays tile-aligned); one MXU matmul
     against the [K*c_pack, Cout] stacked weights per tile."""
@@ -698,19 +731,11 @@ def _tile_fwd_im2col_kernel(meta_ref, kmap_ref, feats_hbm, w_ref, out_ref,
         @pl.when(active(j))
         def _():
             dma(j % nbuf, j).wait()
-            start = meta_ref[2 * cap + j]
-            g = meta_ref[cap + j]
-            win_bf = win_scratch[j % nbuf]
-            base = g * (group * c_pack)
-
-            def body(i, _):
-                rows = kmap_ref[g * group + i, :]
-                gthr = _gather_rows(win_bf, rows, start, n_in, window)
-                col = base + i * c_pack
-                ic_ref[:, pl.ds(col, c_pack)] += gthr.astype(jnp.bfloat16)
-                return ()
-
-            jax.lax.fori_loop(0, group, body, (), unroll=True)
+            _im2col_gathers(ic_ref, kmap_ref, win_scratch[j % nbuf],
+                            meta_ref[2 * cap + j], meta_ref[cap + j],
+                            group=group, window=window, n_in=n_in,
+                            c_pack=c_pack, n_groups=n_groups,
+                            static_g=static_g)
 
         return ()
 
@@ -723,7 +748,8 @@ def _tile_bwd_im2col_kernel(meta_ref, kmap_ref, f_tile_ref, g_hbm, wt_ref,
                             dfeats_ref, dw_ref, win_scratch, sem, gg_ref, *,
                             group: int, window: int, n_in: int, cap: int,
                             nbuf: int, c_pack: int, n_tiles: int,
-                            dw_only: bool = False):
+                            dw_only: bool = False, n_groups: int = 1,
+                            static_g: bool = False):
     """CSN_DYNG=2 backward: the gathered-cotangent im2col GG [T, K*c_pack]
     serves d_feats = GG @ stacked-W^T (one matmul) and the WHOLE dW via
     f_tile^T @ GG -> [Cin, K*c_pack] (one matmul per tile; the wrapper
@@ -760,19 +786,11 @@ def _tile_bwd_im2col_kernel(meta_ref, kmap_ref, f_tile_ref, g_hbm, wt_ref,
         @pl.when(active(j))
         def _():
             dma(j % nbuf, j).wait()
-            start = meta_ref[2 * cap + j]
-            g = meta_ref[cap + j]
-            win_bf = win_scratch[j % nbuf]
-            base = g * (group * c_pack)
-
-            def body(i, _):
-                rows = kmap_ref[g * group + i, :]
-                gthr = _gather_rows(win_bf, rows, start, n_in, window)
-                col = base + i * c_pack
-                gg_ref[:, pl.ds(col, c_pack)] += gthr.astype(jnp.bfloat16)
-                return ()
-
-            jax.lax.fori_loop(0, group, body, (), unroll=True)
+            _im2col_gathers(gg_ref, kmap_ref, win_scratch[j % nbuf],
+                            meta_ref[2 * cap + j], meta_ref[cap + j],
+                            group=group, window=window, n_in=n_in,
+                            c_pack=c_pack, n_groups=n_groups,
+                            static_g=static_g)
 
         return ()
 
@@ -863,10 +881,11 @@ def window_conv_fwd(feats, kmap, meta, weights, *, group: int,
 
     n_tiles = (n_out + opad) // TILE
     dyng = dyng_mode() if (tile_grid_enabled() and pack == 1) else 0
-    if dyng == 2:
+    if dyng >= 2:
         kern = functools.partial(_tile_fwd_im2col_kernel, group=group,
                                  window=window, n_in=n_in, cap=cap,
-                                 nbuf=nbuf, c_pack=c_pack, n_tiles=n_tiles)
+                                 nbuf=nbuf, c_pack=c_pack, n_tiles=n_tiles,
+                                 n_groups=K // group, static_g=dyng == 3)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_tiles,),
@@ -968,11 +987,12 @@ def window_conv_bwd(feats, g, kmap_t, meta, weights_pair, *, group: int,
 
     n_tiles = (n_out + opad) // TILE
     dyng = dyng_mode() if (tile_grid_enabled() and pack == 1) else 0
-    if dyng == 2:
+    if dyng >= 2:
         kern = functools.partial(_tile_bwd_im2col_kernel, group=group,
                                  window=window, n_in=n_src, cap=cap,
                                  nbuf=nbuf, c_pack=cout_p, n_tiles=n_tiles,
-                                 dw_only=dw_only)
+                                 dw_only=dw_only, n_groups=K // group,
+                                 static_g=dyng == 3)
         row_spec2 = pl.BlockSpec((TILE, cin), lambda t, m: (t, 0))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

@@ -417,12 +417,13 @@ def test_window_conv_lane_packed_parity_on_tpu(monkeypatch):
     check("same0k5", 3, 32, "same0k5", True, group=25)  # p=16 fwd, p=4 bwd
 
 
-@pytest.mark.parametrize("mode", ["1", "2"])
+@pytest.mark.parametrize("mode", ["1", "2", "3"])
 def test_window_conv_dyngather_parity_on_tpu(monkeypatch, mode):
     """CSN_DYNG=1 (in-VMEM `jnp.take` row gather replacing the one-hot
-    matmul in the tile-grid kernels) and CSN_DYNG=2 (im2col: gathers fill a
-    [T, K*C] scratch, ONE apply matmul per tile fwd, one-matmul dW bwd) vs
-    the XLA gather path — fwd + fused bwd, incl. the
+    matmul in the tile-grid kernels), CSN_DYNG=2 (im2col: gathers fill a
+    [T, K*C] scratch, ONE apply matmul per tile fwd, one-matmul dW bwd)
+    and CSN_DYNG=3 (im2col with static group dispatch — no dynamic-lane
+    -offset store) vs the XLA gather path — fwd + fused bwd, incl. the
     multi-window-per-(tile,group) mask case, the k5 stem's tiny channels,
     and the strided down/up pair. Skips (rather than fails) iff Mosaic
     cannot lower the gather — scripts/probe_dyngather.py is the standalone
