@@ -43,10 +43,53 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
 
 def stack_batches(host_batches: Sequence) -> "jax.Array":
     """Stack per-device VoxelBatches into one pytree with a leading device
-    axis. Each per-device batch keeps its *local* kernel-map index space."""
+    axis. Each per-device batch keeps its *local* kernel-map index space.
+
+    Per-batch OPTIONAL wire choices are normalized first — they are made
+    independently per batch, and a mixed stack would either fail (tree
+    structure) or silently corrupt (jnp.stack promotes an int16 DELTA wire
+    table next to an int32 ABSOLUTE one to int32, and the dtype-gated
+    decode then skips it):
+    * `win!` worklists present in only SOME batches (WindowOverflow
+      fallback) are dropped from all, loudly;
+    * int16 kmap / interp_idx wire tables mixed with int32 fallbacks are
+      decoded host-side (decode_kmap / decode_interp_idx are identity on
+      int32);
+    * `stem_cells` present in only some batches is dropped from all."""
+    import logging
+
+    from csn_tpu.core.interp import decode_interp_idx
+    from csn_tpu.core.pyramid import _map_levels, decode_kmap
+
     jax_batches = [b.to_jax() if hasattr(b, "to_jax") else b
                    for b in host_batches]
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *jax_batches)
+    keysets = [set(b.kmaps) for b in jax_batches]
+    common = set.intersection(*keysets)
+    dropped = set.union(*keysets) - common
+    if dropped:
+        logging.warning(
+            "stack_batches: dropping %s (absent in some device batches — "
+            "worklist-overflow fallback); the affected kernels use the XLA "
+            "gather path on ALL devices this step", sorted(dropped))
+    norm = []
+    for b in jax_batches:
+        km = {k: v for k, v in b.kmaps.items() if k in common}
+        for k in km:
+            if not k.startswith("win!") and any(
+                    jb.kmaps[k].dtype != km[k].dtype for jb in jax_batches):
+                src_l = _map_levels(k)[0]
+                km[k] = decode_kmap(
+                    km[k], b.batch_size * b.masks[src_l].shape[1])
+        ii = b.interp_idx
+        if any(jb.interp_idx.dtype != ii.dtype for jb in jax_batches):
+            ii = decode_interp_idx(
+                ii, b.point_to_voxel, b.batch_size * b.masks[0].shape[1])
+        sc = b.stem_cells
+        if any((jb.stem_cells is None) != (sc is None)
+               for jb in jax_batches):
+            sc = None
+        norm.append(b.replace(kmaps=km, interp_idx=ii, stem_cells=sc))
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *norm)
 
 
 def shard_stacked(stacked, mesh: Mesh, axis: str = "data"):

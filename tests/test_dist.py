@@ -213,3 +213,56 @@ def test_dp_trainer_matches_single_device(tmp_path):
     assert len(t8.train_dataset.neighbors) == 8
     assert all(len(nb) == 1 and nb[0] != i
                for i, nb in t8.train_dataset.neighbors)
+
+
+def test_stack_batches_normalizes_mixed_wire():
+    """Per-batch wire choices (int16-vs-int32 kmap/interp fallback, win!
+    worklist overflow fallback) are made independently per device batch;
+    stack_batches must normalize them — a naive stack either fails on tree
+    structure or silently promotes int16 DELTA tables next to int32
+    ABSOLUTE ones (the dtype-gated decode then reads deltas as absolutes).
+    Simulates a device-1 fallback and checks device-0 is normalized too."""
+    from csn_tpu.core.interp import decode_interp_idx
+    from csn_tpu.core.pyramid import _map_levels, decode_kmap
+    from csn_tpu.parallel.dp import stack_batches
+
+    cls = load_model("HRNetSeg2S")
+    spec = pyramid_spec_for_model(cls, num_points=900, voxel_size=0.07,
+                                  conv1_kernel_size=3, shrink=1.5,
+                                  use_windows=True)
+    b0 = collate_shapes(make_shapes(2, 900, 0), spec).to_jax()
+    b1 = collate_shapes(make_shapes(2, 900, 1), spec).to_jax()
+    k16 = next(k for k in b1.kmaps
+               if not k.startswith("win!") and b1.kmaps[k].dtype == jnp.int16)
+    wink = next(k for k in b1.kmaps if k.startswith("win!"))
+    assert b0.interp_idx.dtype == jnp.int16
+
+    # simulate device-1 falling back to the int32 wire + losing a worklist
+    n_in1 = b1.batch_size * b1.masks[_map_levels(k16)[0]].shape[1]
+    km = {k: v for k, v in b1.kmaps.items() if k != wink}
+    km[k16] = decode_kmap(km[k16], n_in1)
+    ii1 = decode_interp_idx(b1.interp_idx, b1.point_to_voxel,
+                            b1.batch_size * b1.masks[0].shape[1])
+    b1 = b1.replace(kmaps=km, interp_idx=ii1)
+
+    stacked = stack_batches([b0, b1])
+    assert wink not in stacked.kmaps
+    assert stacked.kmaps[k16].dtype == jnp.int32
+    n_in0 = b0.batch_size * b0.masks[_map_levels(k16)[0]].shape[1]
+    np.testing.assert_array_equal(
+        np.asarray(stacked.kmaps[k16][0]),
+        np.asarray(decode_kmap(b0.kmaps[k16], n_in0)))
+    np.testing.assert_array_equal(np.asarray(stacked.kmaps[k16][1]),
+                                  np.asarray(km[k16]))
+    assert stacked.interp_idx.dtype == jnp.int32
+    np.testing.assert_array_equal(
+        np.asarray(stacked.interp_idx[0]),
+        np.asarray(decode_interp_idx(
+            b0.interp_idx, b0.point_to_voxel,
+            b0.batch_size * b0.masks[0].shape[1])))
+    # uniform batches stay untouched (int16 wire preserved)
+    b0b = collate_shapes(make_shapes(2, 900, 2), spec).to_jax()
+    uni = stack_batches([b0, b0b])
+    assert uni.kmaps[k16].dtype == jnp.int16
+    assert uni.interp_idx.dtype == jnp.int16
+    assert wink in uni.kmaps
