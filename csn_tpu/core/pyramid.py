@@ -354,8 +354,24 @@ def concat_jax_batches(batches: Sequence["JaxVoxelBatch"]) -> "JaxVoxelBatch":
                 jnp.where(t >= sent_old, total * caps[src_l], t + off))
         return jnp.concatenate(parts, axis=axis)
 
+    # win! worklists are per-batch optional (overflow fallback): keep only
+    # keys present in EVERY batch (the affected conv falls back to the
+    # gather path), and say so — losing a windowed kernel silently costs
+    # a retrace + the fastest path
+    common = set.intersection(*(set(b.kmaps) for b in batches))
+    missing = set(b0.kmaps) - common
+    if missing:
+        import logging
+
+        logging.warning(
+            "concat_jax_batches: dropping %s (absent in some batches — "
+            "worklist-overflow fallback); combined pass uses the XLA "
+            "gather path for those maps", sorted(missing))
+
     kmaps = {}
     for name in b0.kmaps:
+        if name not in common:
+            continue
         if name.startswith("win!interp"):
             # interp worklists are only consumed on ORIGINAL query batches
             # (trainers interpolate with qb, never the combined batch), and
@@ -431,10 +447,13 @@ def concat_jax_batches(batches: Sequence["JaxVoxelBatch"]) -> "JaxVoxelBatch":
         vox_feats=cat(lambda b: b.vox_feats),
         kmaps=kmaps,
         # int16 interp deltas are offset-invariant (delta vs own voxel);
-        # absolute int32 tables need the index-space remap
+        # absolute int32 tables need the index-space remap. MIXED dtypes
+        # (a per-batch int16-range fallback) must decode first — naive
+        # concat would promote deltas to int32 "absolutes"
         interp_idx=(cat(lambda b: b.interp_idx)
-                    if b0.interp_idx.dtype == jnp.int16
-                    else remap_cat([b.interp_idx for b in batches], 0,
+                    if all(b.interp_idx.dtype == jnp.int16 for b in batches)
+                    else remap_cat([_decode_interp(b, g, caps)
+                                    for g, b in enumerate(batches)], 0,
                                    axis=0)),
         interp_w=cat(lambda b: b.interp_w),
         point_to_voxel=remap_cat([b.point_to_voxel for b in batches], 0,
@@ -449,6 +468,14 @@ def concat_jax_batches(batches: Sequence["JaxVoxelBatch"]) -> "JaxVoxelBatch":
 # ---------------------------------------------------------------------------
 # Host-side construction
 # ---------------------------------------------------------------------------
+
+def _decode_interp(b, g, caps):
+    """Batch-local interp_idx as absolute int32 (identity for int32)."""
+    from csn_tpu.core.interp import decode_interp_idx
+
+    n0 = b.masks[0].shape[0] * caps[0]
+    return decode_interp_idx(b.interp_idx, b.point_to_voxel, n0)
+
 
 def _pack_keys(coords: np.ndarray, mins: np.ndarray, dims: np.ndarray) -> np.ndarray:
     """Pack int coords [N,3] into sortable int64 keys (within one shape)."""

@@ -336,3 +336,48 @@ def test_compact_wire_roundtrip():
     big = np.zeros((1, 512), np.int32)
     big[0, ::2] = 120000
     assert encode_kmap16(big, 130000) is None
+
+
+def test_concat_jax_batches_mixed_wire_and_missing_worklists():
+    """Per-batch wire fallbacks in ONE input (int32 interp table, a dropped
+    win! worklist after overflow) must not crash or corrupt the concat: a
+    naive concat would KeyError on the missing worklist and silently
+    promote the other batch's int16 interp DELTAS next to int32 ABSOLUTES.
+    Mixed inputs must produce the same absolute semantics as the all-int16
+    concat, minus the dropped worklist."""
+    from csn_tpu.core.interp import decode_interp_idx
+    from csn_tpu.core.pyramid import concat_jax_batches
+
+    rng = np.random.default_rng(5)
+    spec = PyramidSpec(voxel_size=0.05, num_points=2000, level_caps=(1280,),
+                       maps=(MapSpec("same", 0, 3),),
+                       qmode=QMode.UNWEIGHTED_AVERAGE, use_windows=True)
+
+    def shapes(seed):
+        r = np.random.default_rng(seed)
+        pts = r.uniform(-1, 1, (2000, 3)).astype(np.float32)
+        return [(pts, pts.copy(), np.zeros(2000, np.int32)) for _ in range(2)]
+
+    b1 = build_voxel_batch(shapes(0), spec).to_jax()
+    b2 = build_voxel_batch(shapes(1), spec).to_jax()
+    assert b1.interp_idx.dtype == np.int16
+    wink = next(k for k in b2.kmaps if k.startswith("win!same"))
+
+    ref = concat_jax_batches([b1, b2])
+
+    n0_2 = b2.masks[0].shape[0] * b2.masks[0].shape[1]
+    b2m = b2.replace(
+        kmaps={k: v for k, v in b2.kmaps.items() if k != wink},
+        interp_idx=decode_interp_idx(b2.interp_idx, b2.point_to_voxel, n0_2))
+    cat = concat_jax_batches([b1, b2m])
+
+    assert wink not in cat.kmaps and wink in ref.kmaps
+    assert cat.interp_idx.dtype == np.int32
+    n0 = ref.point_to_voxel.shape[0] * ref.masks[0].shape[1]
+    np.testing.assert_array_equal(
+        np.asarray(cat.interp_idx),
+        np.asarray(decode_interp_idx(ref.interp_idx, ref.point_to_voxel,
+                                     n0)))
+    for k in cat.kmaps:
+        np.testing.assert_array_equal(np.asarray(cat.kmaps[k]),
+                                      np.asarray(ref.kmaps[k]), err_msg=k)
