@@ -405,11 +405,31 @@ def main():
     }))
 
 
+def _with_interp_fallback(fn):
+    """Run a bench mode; if it dies with the windowed-interp kernels ON,
+    retry once with CSN_INTERP_WIN=0 (XLA gather/scatter readout). The
+    headline must survive a Mosaic regression in the NEWEST kernel family —
+    the env var is read at batch build, so the retry rebuilds everything."""
+    try:
+        fn()
+    except Exception:
+        if os.environ.get("CSN_INTERP_WIN", "1") == "0":
+            raise
+        import traceback
+
+        traceback.print_exc()
+        print("[bench] RETRYING with CSN_INTERP_WIN=0 (windowed interp "
+              "kernels failed on this backend — see traceback above)",
+              file=sys.stderr)
+        os.environ["CSN_INTERP_WIN"] = "0"
+        fn()
+
+
 if __name__ == "__main__":
     if os.environ.get("BENCH_E2E", "0") == "1" or "--e2e" in sys.argv:
         run_e2e()
     elif (os.environ.get("BENCH_MODE", "") == "infer"
           or "--infer" in sys.argv):
-        run_infer()
+        _with_interp_fallback(run_infer)
     else:
-        main()
+        _with_interp_fallback(main)
