@@ -63,7 +63,7 @@ def interp_batch(vox_feats: jnp.ndarray, batch) -> jnp.ndarray:
     idxT = idx.reshape(B * P, 8).T
     wT = batch.interp_w.reshape(B * P, 8).T.astype(jnp.float32)
     out = interp_window_apply(vox_feats.reshape(B * L0, C), idxT, wT,
-                              meta_f, meta_b, B * P)
+                              meta_f, meta_b, B * P, B * L0)
     return out.reshape(B, P, C).astype(vox_feats.dtype)
 
 

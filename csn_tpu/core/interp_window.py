@@ -353,27 +353,33 @@ def _bwd_impl(g, idxT, wT, meta_b, *, n_vox, window, nbuf):
     return out[:n_vox, :c]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def interp_window_apply(flat, idxT, wT, meta_f, meta_b,
-                        n_pts: int, window_f: int = WINDOW_F,
+                        n_pts: int, n_vox: int, window_f: int = WINDOW_F,
                         window_b: int = WINDOW_B):
     """flat [n_vox, C] f32 -> point features [n_pts, C] f32 via the
-    windowed kernels; differentiable in `flat` (scatter-free backward)."""
+    windowed kernels; differentiable in `flat` (scatter-free backward).
+
+    n_pts and n_vox are static (nondiff): the backward kernel's grid and
+    padding are shape parameters, so they must not become tracers via the
+    residual tuple (residuals are flattened into traced jaxpr outputs)."""
     return _fwd_impl(flat, idxT, wT, meta_f, n_pts=n_pts, window=window_f,
                      nbuf=_default_nbuf())
 
 
-def _iw_fwd(flat, idxT, wT, meta_f, meta_b, n_pts, window_f, window_b):
+def _iw_fwd(flat, idxT, wT, meta_f, meta_b, n_pts, n_vox, window_f, window_b):
     out = _fwd_impl(flat, idxT, wT, meta_f, n_pts=n_pts, window=window_f,
                     nbuf=_default_nbuf())
-    return out, (idxT, wT, meta_b, flat.shape[0], flat.dtype)
+    # zero-size array carries flat's dtype through the residual pytree
+    # (a raw np.dtype is not a valid JAX type there)
+    return out, (idxT, wT, meta_b, jnp.zeros((0,), flat.dtype))
 
 
-def _iw_bwd(n_pts, window_f, window_b, res, ct):
-    idxT, wT, meta_b, n_vox, dtype = res
+def _iw_bwd(n_pts, n_vox, window_f, window_b, res, ct):
+    idxT, wT, meta_b, dtype_probe = res
     d = _bwd_impl(ct, idxT, wT, meta_b, n_vox=n_vox, window=window_b,
                   nbuf=_default_nbuf())
-    return d.astype(dtype), None, None, None, None
+    return d.astype(dtype_probe.dtype), None, None, None, None
 
 
 interp_window_apply.defvjp(_iw_fwd, _iw_bwd)

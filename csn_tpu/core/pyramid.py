@@ -359,7 +359,7 @@ def concat_jax_batches(batches: Sequence["JaxVoxelBatch"]) -> "JaxVoxelBatch":
     # gather path), and say so — losing a windowed kernel silently costs
     # a retrace + the fastest path
     common = set.intersection(*(set(b.kmaps) for b in batches))
-    missing = set(b0.kmaps) - common
+    missing = set.union(*(set(b.kmaps) for b in batches)) - common
     if missing:
         import logging
 

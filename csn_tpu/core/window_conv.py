@@ -186,6 +186,10 @@ def window_jobs(kmap: np.ndarray, n_in: int, tile: int = TILE,
                              f"align={align}")
     n_tiles0 = -(-n_out // tile)
     cap0 = int(np.ceil(cap_mult * n_tiles0 * (K // group) / 64.0) * 64) + 64
+    # meta row 4 stores per-tile job ranges terminated at index n_tiles, so
+    # cap must exceed n_tiles even when a tiny cap_mult (CSN_CAP_MULT
+    # sweeps) would otherwise allow cap == n_tiles == n_jobs
+    cap0 = max(cap0, (-(-(n_tiles0 + 1) // 64)) * 64)
     try:  # C++ fast path (bit-identical to the numpy builder below)
         from csn_tpu.core import native
 
@@ -207,6 +211,7 @@ def window_jobs(kmap: np.ndarray, n_in: int, tile: int = TILE,
     n_tiles = n_out // tile
     ng = K // group
     cap = int(np.ceil(cap_mult * n_tiles * ng / 64.0) * 64) + 64
+    cap = max(cap, (-(-(n_tiles + 1) // 64)) * 64)  # row-4 terminator slot
 
     t = kmap.reshape(ng, group, n_tiles, tile)
     valid = t < n_in

@@ -222,6 +222,10 @@ int64_t csn_window_jobs(const int32_t* kmap, int64_t K, int64_t n_out,
   const int64_t n_tiles = (n_out + tile - 1) / tile;
   const int64_t ng = K / group;
   if (K % group != 0 || align < 16 || window % align != 0) return -1;
+  // row 4 needs slot n_tiles for its terminator; a cap that merely fits
+  // the jobs (n_jobs can equal n_tiles) would let that write run past the
+  // [5, cap] buffer
+  if (cap < n_tiles + 1) return -1;
 
   std::vector<int32_t> jt, jg, js;
   jt.reserve(cap); jg.reserve(cap); js.reserve(cap);

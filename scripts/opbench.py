@@ -186,7 +186,8 @@ def main():
 
         def interp_bwd(c):
             def loss(x):
-                pl = interpolate_to_points(x, jb.interp_idx, jb.interp_w)
+                pl = interpolate_to_points(x, jb.interp_idx, jb.interp_w,
+                                           jb.point_to_voxel)
                 return cross_entropy_ignore(pl, jb.labels, 255,
                                             jb.point_mask)
 

@@ -84,7 +84,9 @@ def iter_xplane_ops(trace_dir: str):
         ev_meta = {m.id: m.name for m in plane.event_metadata.values()} \
             if hasattr(plane.event_metadata, "values") else {}
         for line in plane.lines:
-            if "XLA Ops" not in line.name and "Steps" in line.name:
+            # only the op-level line: module/step lines ENCLOSE the ops and
+            # counting them too would double every duration
+            if "XLA Ops" not in line.name:
                 continue
             for ev in line.events:
                 name = ev_meta.get(ev.metadata_id, str(ev.metadata_id))

@@ -197,6 +197,29 @@ def test_interp_batch_falls_back_without_metas():
                                atol=1e-5)
 
 
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_grad_traces_through_windowed_interp(dtype):
+    """Abstract-trace jax.grad through the windowed path (eval_shape never
+    executes the Pallas kernels, so this runs on CPU). Catches residual
+    bugs in the custom_vjp — non-JAX-type leaves or static shapes captured
+    as tracers — which otherwise only surface on TPU hardware."""
+    import jax
+
+    from csn_tpu.core.interp import interp_batch
+
+    vb = _batch()
+    jb = vb.to_jax()
+    assert "win!interp_f" in jb.kmaps
+    B, L0 = vb.masks[0].shape
+
+    def loss(f):
+        return jnp.sum(interp_batch(f, jb).astype(jnp.float32))
+
+    g = jax.eval_shape(jax.grad(loss), jax.ShapeDtypeStruct((B, L0, 5),
+                                                            dtype))
+    assert g.shape == (B, L0, 5) and g.dtype == dtype
+
+
 def test_concat_drops_interp_metas():
     from csn_tpu.core.pyramid import concat_jax_batches
 

@@ -338,7 +338,7 @@ def test_compact_wire_roundtrip():
     assert encode_kmap16(big, 130000) is None
 
 
-def test_concat_jax_batches_mixed_wire_and_missing_worklists():
+def test_concat_jax_batches_mixed_wire_and_missing_worklists(caplog):
     """Per-batch wire fallbacks in ONE input (int32 interp table, a dropped
     win! worklist after overflow) must not crash or corrupt the concat: a
     naive concat would KeyError on the missing worklist and silently
@@ -381,3 +381,14 @@ def test_concat_jax_batches_mixed_wire_and_missing_worklists():
     for k in cat.kmaps:
         np.testing.assert_array_equal(np.asarray(cat.kmaps[k]),
                                       np.asarray(ref.kmaps[k]), err_msg=k)
+
+    # the drop must be LOUD in both directions: a worklist missing only in
+    # batch 0 is just as dropped as one missing in a later batch (the
+    # warning used to be computed from batch 0's keys only)
+    import logging
+    for order in ([b1, b2m], [b2m, b1]):
+        caplog.clear()
+        with caplog.at_level(logging.WARNING):
+            out = concat_jax_batches(order)
+        assert wink not in out.kmaps
+        assert any(wink in r.getMessage() for r in caplog.records), order

@@ -199,6 +199,37 @@ def test_native_window_jobs_matches_numpy():
         np.testing.assert_array_equal(a, b)
 
 
+def test_tiny_cap_mult_keeps_terminator_slot():
+    """Row 4's terminator lives at column n_tiles, so cap must exceed
+    n_tiles even when a tiny CSN_CAP_MULT would shrink it to exactly
+    n_tiles == n_jobs (one job per tile): pre-fix the numpy builder raised
+    IndexError and the C++ builder wrote one int32 past the [5, cap]
+    buffer. Both builders must agree on the floored cap."""
+    from csn_tpu.core import native
+
+    n_out, tile = 1024, 8          # 128 tiles (a multiple of 64)
+    kmap = (np.arange(n_out, dtype=np.int32)[None, :] % 16)
+    n_tiles = n_out // tile
+
+    def build():
+        return window_jobs(kmap, n_in=64, tile=tile, group=1,
+                           cap_mult=1e-6)
+
+    meta = build()
+    assert meta.shape[1] >= n_tiles + 1
+    n_jobs = int(((meta[3] & F_ACTIVE) != 0).sum())
+    assert n_jobs == n_tiles                       # one job per tile
+    assert meta[4, n_tiles] == n_jobs              # terminator intact
+    if native.window_jobs_native(np.zeros((1, 256), np.int32), 10,
+                                 TILE, 512, 1, 128) is not None:
+        orig = native.window_jobs_native
+        native.window_jobs_native = lambda *a, **k: None
+        try:
+            np.testing.assert_array_equal(meta, build())
+        finally:
+            native.window_jobs_native = orig
+
+
 def test_meta_row4_tile_ranges():
     """Row 4 (per-tile job column ranges for the tile-grid kernels):
     ranges partition [0, n_jobs); every active job in range t has tile t;
