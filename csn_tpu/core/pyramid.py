@@ -824,41 +824,50 @@ def build_voxel_batch(
         # function of spec.maps, so the batch pytree structure is identical
         # across batches (jit-signature stability). Pathological geometry
         # overflowing the static job capacity disables windows for the whole
-        # batch (gather fallback — one retrace; logged).
+        # batch (gather fallback — one retrace; logged). The per-map builds
+        # are independent and the C++ builder releases the GIL, so they run
+        # in a thread pool (serial: ~35 ms/batch at bench scale).
+        from concurrent.futures import ThreadPoolExecutor
+
         from csn_tpu.core.window_conv import (
             WindowOverflow, align_for_map, cap_mult_for_map, window_for_map,
             window_jobs,
         )
 
-        try:
-            win: Dict[str, np.ndarray] = {}
-            for m in spec.maps:
-                if m.ksize % 2 == 0:
-                    continue  # even (k2) maps: dense small gathers
-                src_l = m.level + 1 if m.kind == "up" else m.level
-                n_in = B * spec.level_caps[src_l]
-                win["win!" + m.name] = window_jobs(
-                    kmaps[m.name], n_in, window=window_for_map(m.name),
-                    group=m.ksize ** 2, cap_mult=cap_mult_for_map(m.name),
-                    align=align_for_map(m.name))
-            kmaps.update(win)
-        except WindowOverflow as e:  # pragma: no cover - rare geometry
-            import logging
+        def build_one(m):
+            src_l = m.level + 1 if m.kind == "up" else m.level
+            n_in = B * spec.level_caps[src_l]
+            return "win!" + m.name, window_jobs(
+                kmaps[m.name], n_in, window=window_for_map(m.name),
+                group=m.ksize ** 2, cap_mult=cap_mult_for_map(m.name),
+                align=align_for_map(m.name))
 
-            logging.warning(
-                "windowed conv disabled for this batch (gather fallback, "
-                "retrace): %s", e)
+        # even (k2) maps: dense small gathers
+        odd = [m for m in spec.maps if m.ksize % 2 == 1]
+        want_interp = (spec.sort_points
+                       and os.environ.get("CSN_INTERP_WIN", "1") != "0")
+        with ThreadPoolExecutor(max_workers=min(len(odd) + 1, 8)) as ex:
+            futs = [ex.submit(build_one, m) for m in odd]
+            if want_interp:
+                # windowed interp worklists (core/interp_window.py) — valid
+                # because sort_points makes the corner tables near-monotone;
+                # overflow handled inside (CSN_INTERP_WIN=0 is the kill
+                # switch back to XLA gather/scatter)
+                from csn_tpu.core.interp_window import build_interp_windows
 
-    if (spec.use_windows and spec.sort_points
-            and os.environ.get("CSN_INTERP_WIN", "1") != "0"):
-        # windowed interp worklists (core/interp_window.py) — valid because
-        # sort_points makes the corner tables near-monotone.
-        # CSN_INTERP_WIN=0 is the kill switch back to XLA gather/scatter.
-        from csn_tpu.core.interp_window import build_interp_windows
+                fi = ex.submit(build_interp_windows, interp_idx, B * L0)
+            try:
+                kmaps.update(dict(f.result() for f in futs))
+            except WindowOverflow as e:  # pragma: no cover - rare geometry
+                import logging
 
-        iw = build_interp_windows(interp_idx, B * L0)
-        if iw is not None:
-            kmaps["win!interp_f"], kmaps["win!interp_b"] = iw
+                logging.warning(
+                    "windowed conv disabled for this batch (gather "
+                    "fallback, retrace): %s", e)
+            if want_interp:
+                iw = fi.result()
+                if iw is not None:
+                    kmaps["win!interp_f"], kmaps["win!interp_b"] = iw
 
     return VoxelBatch(
         points=points,
