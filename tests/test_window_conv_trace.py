@@ -145,6 +145,60 @@ def test_grad_traces_full_csn_step_tpu_default_config():
     assert chex_tree(grads) == chex_tree(params)
 
 
+def test_grad_traces_dp_steps_with_windowed_batches():
+    """--data_parallel N with windowed batches: the shard_map DP steps had
+    never been traced with win! worklists (dryrun_multichip runs on CPU
+    where windows resolve off), yet on TPU hardware that is exactly the
+    combination --data_parallel runs. eval_shape traces the Pallas kernels
+    inside shard_map on the 8-device virtual mesh."""
+    from csn_tpu.core.interp import interp_batch  # noqa: F401 (path import)
+    from csn_tpu.data.pipeline import collate_shapes, pyramid_spec_for_model
+    from csn_tpu.models import load_model
+    from csn_tpu.parallel import dp
+
+    rng = np.random.default_rng(3)
+    B, P, K, n_dev = 2, 800, 1, 8
+    cls = load_model("HRNetSimCSN2S")
+    model = cls(out_channels=5, conv1_kernel_size=5, d_model=128, n_head=2,
+                k_neighbors=K, use_flash=True, compute_dtype="bfloat16")
+    spec = pyramid_spec_for_model(cls, num_points=P, voxel_size=0.08,
+                                  conv1_kernel_size=5, shrink=1.5,
+                                  use_windows=True, sort_points=True)
+
+    def shape():
+        v = rng.normal(size=(P, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        pts = (v * rng.uniform(0.7, 1.0)).astype(np.float32)
+        return pts, pts.copy(), rng.integers(0, 5, P).astype(np.int32)
+
+    def batch():
+        return collate_shapes([shape() for _ in range(B)], spec).to_jax()
+
+    qs = [batch() for _ in range(n_dev)]
+    assert "win!interp_f" in qs[0].kmaps
+    stacked_q = dp.stack_batches(qs)
+    stacked_k = (dp.stack_batches([batch() for _ in range(n_dev)]),)
+    # win! metas must survive the stack (all batches carry them)
+    assert any(k.startswith("win!same") for k in stacked_q.kmaps)
+
+    mesh = dp.make_mesh(n_dev)
+    grad_step, eval_step, ssa_step = dp.make_dp_trainer_steps(
+        model, mesh, k_neighbors=K)
+
+    variables = jax.eval_shape(
+        lambda r: model.init(r, qs[0], (qs[0],), train=False),
+        jax.random.PRNGKey(0))
+    params, stats = variables["params"], variables.get("batch_stats", {})
+
+    loss, grads, new_stats, pred = jax.eval_shape(
+        grad_step, params, stats, stacked_q, stacked_k, jax.random.PRNGKey(1))
+    assert loss.shape == ()
+    assert pred.shape == (n_dev, B, P)
+    l2, logits, pred2 = jax.eval_shape(
+        eval_step, params, stats, stacked_q, stacked_k)
+    assert l2.shape == (n_dev,) and pred2.shape == (n_dev, B, P)
+
+
 def test_grad_traces_lane_packed_kernels(geom, monkeypatch):
     monkeypatch.setenv("CSN_PACK", "1")
     monkeypatch.setenv("CSN_TILE_GRID", "1")
