@@ -198,6 +198,27 @@ def test_grad_traces_dp_steps_with_windowed_batches():
         eval_step, params, stats, stacked_q, stacked_k)
     assert l2.shape == (n_dev,) and pred2.shape == (n_dev, B, P)
 
+    # sharded cached-collection eval (parallel/collection.py): cache build
+    # + reduce-scatter neighbor fetch + csa_from_cache + windowed interp,
+    # all inside shard_map
+    from csn_tpu.parallel import collection
+
+    cache_step = collection.make_dp_cache_step(model, mesh)
+    cf, cp = jax.eval_shape(cache_step, params, stats, stacked_q)
+    assert cf.shape[0] == n_dev and cp.shape[0] == n_dev
+    n_shapes = n_dev * B
+    L0 = qs[0].masks[0].shape[1]
+    d = cf.shape[-1]
+    scf, scp, scm, per = collection.shard_collection(
+        np.zeros((n_shapes, L0, d), np.float16),
+        np.zeros((n_shapes, d), np.float32),
+        np.zeros((n_shapes, L0), bool), mesh)
+    ceval = collection.make_dp_cached_eval_step(model, mesh, per=per)
+    idx = jnp.zeros((n_dev, B, K), jnp.int32)
+    l3, logits3, pred3 = jax.eval_shape(
+        ceval, params, stats, stacked_q, scf, scp, scm, idx)
+    assert l3.shape == (n_dev,) and pred3.shape == (n_dev, B, P)
+
 
 def test_grad_traces_lane_packed_kernels(geom, monkeypatch):
     monkeypatch.setenv("CSN_PACK", "1")
