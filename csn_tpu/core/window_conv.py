@@ -371,6 +371,19 @@ def dyng_mode() -> int:
     return int(v) if v in ("0", "1", "2", "3") else 0
 
 
+def dyng_im2col_fits(K: int, c_pack: int) -> bool:
+    """VMEM guard for the DYNG>=2 im2col kernels: the [TILE, K*c_pack]
+    bf16 scratch dominates their footprint (k5 stem: 125*128 lanes =
+    8.2 MB vs ~16 MB/core total, next to window buffers, the resident dW
+    block and the VMEM weight input). Maps whose scratch exceeds
+    CSN_DYNG_VMEM_MB (default 6) demote to CSN_DYNG=1 (per-offset gather,
+    no big scratch) instead of risking a Mosaic VMEM failure."""
+    import os
+
+    mb = float(os.environ.get("CSN_DYNG_VMEM_MB", "6"))
+    return TILE * K * c_pack * 2 <= mb * 1e6
+
+
 def _gather_rows(win_bf, rows, start, n_in, window):
     """[T, lanes] f32 masked row gather: out[i] = win_bf[rows[i] - start]
     when rows[i] is a real source inside THIS job's window, else 0. The
@@ -886,6 +899,8 @@ def window_conv_fwd(feats, kmap, meta, weights, *, group: int,
 
     n_tiles = (n_out + opad) // TILE
     dyng = dyng_mode() if (tile_grid_enabled() and pack == 1) else 0
+    if dyng >= 2 and not dyng_im2col_fits(K, c_pack):
+        dyng = 1
     if dyng >= 2:
         kern = functools.partial(_tile_fwd_im2col_kernel, group=group,
                                  window=window, n_in=n_in, cap=cap,
@@ -992,6 +1007,8 @@ def window_conv_bwd(feats, g, kmap_t, meta, weights_pair, *, group: int,
 
     n_tiles = (n_out + opad) // TILE
     dyng = dyng_mode() if (tile_grid_enabled() and pack == 1) else 0
+    if dyng >= 2 and not dyng_im2col_fits(K, cout_p):
+        dyng = 1
     if dyng >= 2:
         kern = functools.partial(_tile_bwd_im2col_kernel, group=group,
                                  window=window, n_in=n_src, cap=cap,

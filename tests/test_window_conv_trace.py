@@ -88,6 +88,19 @@ def test_grad_traces_tile_grid_variants(geom, monkeypatch, dyng, dtype):
     _trace_case(geom, "same0k5", 3, 32, "same0k5", True, 25, dtype)
 
 
+def test_dyng_im2col_vmem_guard(monkeypatch):
+    """DYNG>=2 maps whose [TILE, K*c_pack] scratch would crowd VMEM demote
+    to the per-offset gather: the k5 stem (125 offsets x 128 lanes =
+    8.2 MB) must not gamble the whole mode on a Mosaic VMEM failure."""
+    from csn_tpu.core.window_conv import TILE, dyng_im2col_fits
+
+    assert dyng_im2col_fits(27, 128)            # k3 maps: 1.77 MB
+    assert not dyng_im2col_fits(125, 128)       # k5 stem: 8.2 MB
+    monkeypatch.setenv("CSN_DYNG_VMEM_MB", "9")
+    assert dyng_im2col_fits(125, 128)           # knob re-enables
+    assert TILE * 125 * 128 * 2 > 6e6
+
+
 def test_grad_traces_job_grid_kernels(geom, monkeypatch):
     monkeypatch.setenv("CSN_TILE_GRID", "0")
     _trace_case(geom, "same0k3", 64, 64, "same0k3", True, 9, jnp.bfloat16)
