@@ -56,6 +56,12 @@ for s in $STAGES; do
           CSN_DYNG=1 python scripts/opbench.py
         run_stage 3600 conv_micro_dyng2 env OPBENCH_ONLY=same0k3 \
           CSN_DYNG=2 python scripts/opbench.py
+        run_stage 3600 conv_micro_dyng3 env OPBENCH_ONLY=same0k3 \
+          CSN_DYNG=3 python scripts/opbench.py
+        run_stage 3600 stem_micro_base env OPBENCH_ONLY=same0k5 \
+          python scripts/opbench.py
+        run_stage 3600 stem_micro_dyng1 env OPBENCH_ONLY=same0k5 \
+          CSN_DYNG=1 python scripts/opbench.py
       else
         say "SKIP dyng (probe did not report COMPILES)"
       fi
