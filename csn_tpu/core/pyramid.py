@@ -36,6 +36,29 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 
+_POOL = None
+
+
+def _host_pool():
+    """Shared thread pool for host-side batch builds.
+
+    build_voxel_batch used to construct (and join) two fresh
+    ``ThreadPoolExecutor``s per batch — ~15 thread spawns + joins each call
+    (cProfile at bench scale B=8). The builders (C++ engine, worklist
+    builds) release the GIL, so one persistent pool is safe and removes
+    that per-batch overhead. Sized at 8: the per-shape builds and the
+    per-map worklist builds each submit <= 8-9 jobs, and none of the
+    submitted functions submit nested pool work (deadlock-free).
+    """
+    global _POOL
+    if _POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _POOL = ThreadPoolExecutor(max_workers=8,
+                                   thread_name_prefix="csn-host")
+    return _POOL
+
+
 class QMode(enum.Enum):
     """Quantization mode for point->voxel feature reduction.
 
@@ -711,10 +734,7 @@ def build_voxel_batch(
         p = min(c.shape[0], P)
         pts_all.append(np.asarray(c[:p], dtype=np.float64) / spec.voxel_size)
     if use_native and B > 1:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=min(B, 8)) as ex:
-            tabs_all = list(ex.map(lambda a: builder(a, spec), pts_all))
+        tabs_all = list(_host_pool().map(lambda a: builder(a, spec), pts_all))
     else:
         tabs_all = [builder(a, spec) for a in pts_all]
 
@@ -827,8 +847,6 @@ def build_voxel_batch(
         # batch (gather fallback — one retrace; logged). The per-map builds
         # are independent and the C++ builder releases the GIL, so they run
         # in a thread pool (serial: ~35 ms/batch at bench scale).
-        from concurrent.futures import ThreadPoolExecutor
-
         from csn_tpu.core.window_conv import (
             WindowOverflow, align_for_map, cap_mult_for_map, window_for_map,
             window_jobs,
@@ -846,28 +864,30 @@ def build_voxel_batch(
         odd = [m for m in spec.maps if m.ksize % 2 == 1]
         want_interp = (spec.sort_points
                        and os.environ.get("CSN_INTERP_WIN", "1") != "0")
-        with ThreadPoolExecutor(max_workers=min(len(odd) + 1, 8)) as ex:
-            futs = [ex.submit(build_one, m) for m in odd]
-            if want_interp:
-                # windowed interp worklists (core/interp_window.py) — valid
-                # because sort_points makes the corner tables near-monotone;
-                # overflow handled inside (CSN_INTERP_WIN=0 is the kill
-                # switch back to XLA gather/scatter)
-                from csn_tpu.core.interp_window import build_interp_windows
+        ex = _host_pool()
+        futs = [ex.submit(build_one, m) for m in odd]
+        if want_interp:
+            # windowed interp worklists (core/interp_window.py) — valid
+            # because sort_points makes the corner tables near-monotone;
+            # overflow handled inside (CSN_INTERP_WIN=0 is the kill
+            # switch back to XLA gather/scatter)
+            from csn_tpu.core.interp_window import build_interp_windows
 
-                fi = ex.submit(build_interp_windows, interp_idx, B * L0)
-            try:
-                kmaps.update(dict(f.result() for f in futs))
-            except WindowOverflow as e:  # pragma: no cover - rare geometry
-                import logging
+            fi = ex.submit(build_interp_windows, interp_idx, B * L0)
+        try:
+            kmaps.update(dict(f.result() for f in futs))
+        except WindowOverflow as e:  # pragma: no cover - rare geometry
+            import logging
 
-                logging.warning(
-                    "windowed conv disabled for this batch (gather "
-                    "fallback, retrace): %s", e)
-            if want_interp:
-                iw = fi.result()
-                if iw is not None:
-                    kmaps["win!interp_f"], kmaps["win!interp_b"] = iw
+            logging.warning(
+                "windowed conv disabled for this batch (gather "
+                "fallback, retrace): %s", e)
+            for f in futs:  # drain: never leave orphans in the shared pool
+                f.exception()
+        if want_interp:
+            iw = fi.result()
+            if iw is not None:
+                kmaps["win!interp_f"], kmaps["win!interp_b"] = iw
 
     return VoxelBatch(
         points=points,
