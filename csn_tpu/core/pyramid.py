@@ -738,7 +738,18 @@ def build_voxel_batch(
     else:
         tabs_all = [builder(a, spec) for a in pts_all]
 
-    for b, (c, f, lab) in enumerate(shapes):
+    # Per-shape post-processing (quantization reduction, kmap
+    # globalization over [K, Ld] tables, interp fixups) writes disjoint
+    # [b] slices of the preallocated batch arrays, so it runs in the same
+    # pool (numpy releases the GIL on the large-array ops). The RANDOM_
+    # SUBSAMPLE draws are taken serially, in b order, BEFORE the parallel
+    # section — bit-identical batches vs the serial construction.
+    rand_all = None
+    if spec.qmode == QMode.RANDOM_SUBSAMPLE:
+        rand_all = [rng.random(pts_all[b].shape[0]) for b in range(B)]
+
+    def fill_shape(b):
+        c, f, lab = shapes[b]
         p = pts_all[b].shape[0]
         pts = pts_all[b]
         f_p = np.asarray(f[:p])
@@ -764,7 +775,7 @@ def build_voxel_batch(
         feats_p = np.asarray(f_p, dtype=np.float32)
         n0_full = tabs["coords"][0].shape[0]
         n0 = min(n0_full, L0)
-        dropped[0] += n0_full - n0
+        drop_b = [n0_full - n0] + [0] * (nl - 1)
 
         # point -> voxel feature reduction (ME quantization modes)
         if spec.qmode == QMode.UNWEIGHTED_AVERAGE:
@@ -773,7 +784,7 @@ def build_voxel_batch(
             counts = np.bincount(p2v, minlength=n0_full).astype(np.float64)
             vf = (sums / np.maximum(counts, 1.0)[:, None]).astype(np.float32)
         else:  # RANDOM_SUBSAMPLE
-            r = rng.random(p)
+            r = rand_all[b]
             best = np.full(n0_full, -1.0)
             np.maximum.at(best, p2v, r)
             best_idx = np.zeros(n0_full, dtype=np.int64)
@@ -786,7 +797,7 @@ def build_voxel_batch(
             n_full = cl.shape[0]
             n = min(n_full, spec.level_caps[l])
             if l > 0:
-                dropped[l] += n_full - n
+                drop_b[l] = n_full - n
             coords[l][b, :n] = cl[:n]
             masks[l][b, :n] = True
             num_voxels[l][b] = n
@@ -810,6 +821,15 @@ def build_voxel_batch(
         ok = (li >= 0) & (li < n0)
         interp_idx[b, :p] = np.where(ok, b * L0 + li, B * L0).astype(np.int32)
         interp_w[b, :p] = np.where(ok, lw, 0.0)
+        return drop_b
+
+    if B > 1:
+        drops = list(_host_pool().map(fill_shape, range(B)))
+    else:
+        drops = [fill_shape(b) for b in range(B)]
+    for d in drops:
+        for l in range(nl):
+            dropped[l] += d[l]
 
     # Dense stem grid: per-shape min-corner-shifted level-0 cell coords.
     # Sentinel 255 marks padded rows (255 >= G always: G is capped at 254);
