@@ -111,6 +111,14 @@ class Config:
                                      # apparent bf16 gap was the dropout
                                      # block-raster bug, see STATUS)
     data_parallel: int = 1           # devices for DP (parallel/ module)
+    collection_parallel: bool = False  # 2-D ('data', 'col') mesh for the
+                                     # CSN train step: the [self]+K
+                                     # collection sharded one member per
+                                     # col chip (parallel/cp.py). Requires
+                                     # k_neighbors >= 1 and
+                                     # (k_neighbors+1) | data_parallel;
+                                     # eval/test/graph paths keep the flat
+                                     # DP mesh over the same devices
     cached_eval: bool = False        # CSN eval: precompute per-key backbone
                                      # features once over the train collection
                                      # (HRNetSimCSN.cache_features) and feed

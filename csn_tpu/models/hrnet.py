@@ -358,6 +358,78 @@ class HRNetSimCSN(HRNetBase):
         out = jnp.concatenate([q_out, csa.astype(q_out.dtype)], axis=-1)
         return self.out_head(out).astype(jnp.float32)
 
+    def cp_forward(self, batch, col_axis: str = "col", train: bool = False):
+        """Collection-parallel CSA forward (must run inside `shard_map` with
+        `col_axis` in the mesh; see `parallel/cp.py`).
+
+        This chip owns ONE collection member — mesh position 0 on
+        `col_axis` holds the query batch, position k the k-th neighbor —
+        and runs the expensive work (backbone + SSA, the ~129 ms/member
+        slice of the step) entirely locally. The cross-shape head is then
+        assembled with three cheap ICI collectives:
+
+          * `all_gather` of the pooled SSA descriptors ([B, d] per member)
+            for the compatibility softmax (`models/hrnet.py:377-396`);
+          * a masked-`psum` broadcast of the query features/mask from
+            position 0 (each key chip cross-attends its local K/V against
+            the broadcast query);
+          * `psum` of the compatibility-weighted per-member contributions:
+            csa = comp[:,0]*q_ssa + sum_k comp[:,k]*cross_k, with each term
+            computed where its K/V lives.
+
+        The reference has no counterpart (single-GPU only, SURVEY §2.4);
+        this is the TPU-native scaling axis for CSN's K-linear step cost.
+        Train-mode BatchNorm normalizes with the LOCAL member's batch
+        statistics, whereas the single-chip combined pass uses joint
+        query+key statistics — the same approximation class as data
+        parallelism (IN/LN configs are exact; eval mode is exact for all
+        norms since running stats are used)."""
+        cid = jax.lax.axis_index(col_axis)
+        is_q = cid == 0
+        mask = batch.masks[0]
+        B = mask.shape[0]
+        feats = self._features(batch, train)      # [B, L0, d] local member
+        ssa = self._ssa(feats, mask, train)
+        if self.k_neighbors == 0:
+            raise ValueError("cp_forward needs k_neighbors > 0 (the col "
+                             "mesh axis is the [self]+K collection)")
+
+        # query-side broadcast: exactly one nonzero contributor per psum,
+        # so the reduction is exact in the activation dtype
+        q_out = jax.lax.psum(jnp.where(is_q, feats, jnp.zeros_like(feats)),
+                             col_axis)
+        qmask = jax.lax.psum(
+            jnp.where(is_q, mask.astype(jnp.int32), 0), col_axis) > 0
+
+        # compatibility softmax over [self]+K (`models/hrnet.py:377-396`):
+        # pools gathered in cid order == the combined pass's concat order
+        # [query, key_0, ...]; the [C, B, d] computation is tiny and runs
+        # replicated on every chip
+        pool = global_avg_pool(ssa, mask)                 # [B, d] f32
+        pools = jax.lax.all_gather(pool, col_axis)        # [K+1, B, d]
+        q_glob = self.linear_q(pools[0])
+        q_glob = q_glob / jnp.maximum(
+            jnp.linalg.norm(q_glob, axis=-1, keepdims=True), 1e-12)
+        k_glob = self.linear_k(pools.transpose(1, 0, 2))  # [B, K+1, d]
+        k_glob = k_glob / jnp.maximum(
+            jnp.linalg.norm(k_glob, axis=-1, keepdims=True), 1e-12)
+        sim = jnp.einsum("bd,bkd->bk", q_glob, k_glob) / (
+            float(self.d_model) ** 0.5)
+        comp = jax.nn.softmax(sim, axis=-1)               # [B, K+1]
+
+        # this member's contribution: position 0 contributes its own SSA,
+        # key positions the cross attention of the broadcast query against
+        # their local K/V — B shapes per chip vs the combined pass's K*B
+        cross = self.mha(q_out, feats, feats, mask, qmask, train=train)
+        cross = jnp.where(qmask[..., None], cross, 0.0)
+        comp_c = jax.lax.dynamic_slice_in_dim(comp, cid, 1, axis=1)[:, 0]
+        contrib = comp_c[:, None, None] * jnp.where(
+            is_q, ssa, cross).astype(jnp.float32)
+        csa = jax.lax.psum(contrib, col_axis)             # [B, L0, d] f32
+
+        out = jnp.concatenate([q_out, csa.astype(q_out.dtype)], axis=-1)
+        return self.out_head(out).astype(jnp.float32)
+
     def cache_features(self, batch, train: bool = False):
         """Per-shape cache for cached-collection CSA evaluation.
 

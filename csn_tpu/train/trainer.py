@@ -128,6 +128,23 @@ class BaseTrainer:
         # (parallel/dp.py shard_map steps slot in for the single-device
         # jits; grads/BN stats are psum'd over ICI).
         self.n_dev = max(getattr(config, "data_parallel", 1), 1)
+        # `--collection_parallel`: the TRAIN step runs on a 2-D
+        # ('data', 'col') mesh with the [self]+K collection sharded one
+        # member per col chip (parallel/cp.py); eval/test/graph paths keep
+        # the flat DP mesh over the same devices.
+        self.n_col = 1
+        if getattr(config, "collection_parallel", False):
+            if self.K < 1:
+                raise ValueError(
+                    "--collection_parallel needs k_neighbors >= 1 (the col "
+                    "mesh axis is the [self]+K collection)")
+            if self.n_dev % (self.K + 1) != 0:
+                raise ValueError(
+                    f"--collection_parallel needs k_neighbors+1 "
+                    f"({self.K + 1}) to divide --data_parallel "
+                    f"({self.n_dev})")
+            self.n_col = self.K + 1
+        self.n_data = self.n_dev // self.n_col
         self._apply_step = jax.jit(self._make_apply_step())
         if self.n_dev > 1:
             from csn_tpu.parallel import dp
@@ -137,6 +154,18 @@ class BaseTrainer:
                 dp.make_dp_trainer_steps(
                     self.model, self.mesh, k_neighbors=self.K,
                     ignore_label=config.ignore_label)
+            if self.n_col > 1:
+                from csn_tpu.parallel import cp
+
+                self.cp_mesh = cp.make_cp_mesh(self.n_data, self.n_col)
+                cp_steps = cp.make_cp_trainer_steps(
+                    self.model, self.cp_mesh, k_neighbors=self.K,
+                    ignore_label=config.ignore_label)
+                # trainer-shaped adapter: the stacked collection travels in
+                # the qb slot, keys is always ()
+                self._grad_step = (
+                    lambda p, bs, qb, keys, rng:
+                    cp_steps.grad_step(p, bs, qb, rng))
         else:
             self.mesh = None
             self._grad_step = jax.jit(self._make_grad_step())
@@ -246,7 +275,9 @@ class BaseTrainer:
     def _fetch_data(self, augment: bool = True,
                     rng: Optional[np.random.Generator] = None):
         rng = rng if rng is not None else self.data_rng
-        idxs = self.sampler.take(self.config.batch_size * self.n_dev)
+        idxs = self.sampler.take(self.config.batch_size * self.n_data)
+        if self.n_col > 1:
+            return self._fetch_data_cp(idxs, augment, rng)
         if self.n_dev > 1:
             return self._fetch_data_dp(idxs, augment, rng)
         if self.K > 0:
@@ -297,11 +328,35 @@ class BaseTrainer:
             keys.append(stack_batches(kbs))
         return stack_batches(qbs), tuple(keys)
 
+    def _fetch_data_cp(self, idxs, augment: bool, rng):
+        """Collection-parallel stacking: per data shard d, the query batch
+        and its K neighbor batches occupy consecutive rows (row-major
+        (d, c) — the order `P(('data', 'col'))` shards the leading axis
+        over the 2-D mesh; parallel/cp.py stack_collection). Travels in
+        the qb slot of the step interface; keys is ()."""
+        from csn_tpu.parallel.cp import stack_collection
+
+        B = self.config.batch_size
+        chunks = [idxs[d * B:(d + 1) * B] for d in range(self.n_data)]
+        rngs = rng.spawn(self.n_data * self.n_col)
+        per_data = []
+        for d, ch in enumerate(chunks):
+            row = [build_batch_from_dataset(
+                self.train_dataset, ch, self.spec, rngs[d * self.n_col],
+                augment, self.config.train_limit_numpoints)]
+            for k in range(self.K):
+                nbr = [self.train_dataset.neighbors[i][1][k] for i in ch]
+                row.append(build_batch_from_dataset(
+                    self.train_dataset, nbr, self.spec,
+                    rngs[d * self.n_col + 1 + k], augment))
+            per_data.append(row)
+        return stack_collection(per_data), ()
+
     # -- train loop -----------------------------------------------------------
     @property
     def data_len(self) -> int:
         n_batches = max(len(self.train_dataset)
-                        // (self.config.batch_size * self.n_dev), 1)
+                        // (self.config.batch_size * self.n_data), 1)
         return (n_batches + self.config.iter_size - 1) // self.config.iter_size
 
     def _current_lr(self) -> float:
@@ -349,7 +404,10 @@ class BaseTrainer:
             else:
                 grads_acc = jax.tree_util.tree_map(
                     lambda a, b: a + b, grads_acc, grads)
-            target, mask = qb.labels, qb.point_mask
+            # under collection parallelism qb is the stacked [self]+K
+            # collection; only the query rows (every n_col-th) score
+            target = qb.labels[::self.n_col]
+            mask = qb.point_mask[::self.n_col]
         if self.config.iter_size > 1:
             grads_acc = jax.tree_util.tree_map(
                 lambda g: g / self.config.iter_size, grads_acc)
