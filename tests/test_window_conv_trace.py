@@ -233,6 +233,58 @@ def test_grad_traces_dp_steps_with_windowed_batches():
     assert l3.shape == (n_dev,) and pred3.shape == (n_dev, B, P)
 
 
+def test_grad_traces_cp_steps_with_windowed_batches():
+    """--collection_parallel with windowed batches: like the DP trace test,
+    the CP steps (parallel/cp.py, cp_forward's collectives + the Pallas
+    windowed kernels inside shard_map on a 2-D mesh) only meet win!
+    worklists on TPU hardware; eval_shape traces the combination on the
+    virtual (4, 2) mesh."""
+    from csn_tpu.data.pipeline import collate_shapes, pyramid_spec_for_model
+    from csn_tpu.models import load_model
+    from csn_tpu.parallel import cp
+
+    rng = np.random.default_rng(4)
+    B, P, K = 2, 800, 1
+    n_data, n_col = 4, K + 1
+    cls = load_model("HRNetSimCSN2S")
+    model = cls(out_channels=5, conv1_kernel_size=5, d_model=128, n_head=2,
+                k_neighbors=K, use_flash=True, compute_dtype="bfloat16")
+    spec = pyramid_spec_for_model(cls, num_points=P, voxel_size=0.08,
+                                  conv1_kernel_size=5, shrink=1.5,
+                                  use_windows=True, sort_points=True)
+
+    def shape():
+        v = rng.normal(size=(P, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        pts = (v * rng.uniform(0.7, 1.0)).astype(np.float32)
+        return pts, pts.copy(), rng.integers(0, 5, P).astype(np.int32)
+
+    def batch():
+        return collate_shapes([shape() for _ in range(B)], spec).to_jax()
+
+    per_data = [[batch() for _ in range(n_col)] for _ in range(n_data)]
+    assert "win!interp_f" in per_data[0][0].kmaps
+    stacked = cp.stack_collection(per_data)
+    assert any(k.startswith("win!same") for k in stacked.kmaps)
+
+    mesh = cp.make_cp_mesh(n_data, n_col)
+    steps = cp.make_cp_trainer_steps(model, mesh, k_neighbors=K)
+    variables = jax.eval_shape(
+        lambda r: model.init(r, per_data[0][0], (per_data[0][1],),
+                             train=False), jax.random.PRNGKey(0))
+    params, stats = variables["params"], variables.get("batch_stats", {})
+
+    loss, grads, new_stats, pred = jax.eval_shape(
+        steps.grad_step, params, stats, stacked, jax.random.PRNGKey(1))
+    assert loss.shape == () and loss.dtype == jnp.float32
+    assert pred.shape == (n_data, B, P)
+    assert (jax.tree_util.tree_structure(grads)
+            == jax.tree_util.tree_structure(params))
+    l2, logits, pred2 = jax.eval_shape(steps.eval_step, params, stats,
+                                       stacked)
+    assert l2.shape == () and pred2.shape == (n_data, B, P)
+
+
 def test_grad_traces_lane_packed_kernels(geom, monkeypatch):
     monkeypatch.setenv("CSN_PACK", "1")
     monkeypatch.setenv("CSN_TILE_GRID", "1")
