@@ -249,15 +249,19 @@ def _interp_bwd_kernel(meta_ref, g_hbm, idx_hbm, w_hbm, dflat_ref,
                                              0) + vbase
             one_bits = jnp.int32(0x3F800000)
 
-            def corner(k, oh):
-                idx = i_scratch[j % nbuf][k, :]
-                hit = jnp.where(idx[None, :] == vrows, one_bits, 0)
-                return oh + (pltpu.bitcast(hit, jnp.float32)
-                             * w_scratch[j % nbuf][k, :][None, :])
-
-            oh = jax.lax.fori_loop(
-                0, 8, corner, jnp.zeros((TILE, window), jnp.float32),
-                unroll=True)
+            # Python loop (static k) + [k:k+1, :] slices, NOT
+            # fori_loop + [k, :]: a rank-reducing row read of a dynamically
+            # slot-indexed scratch lowers to an unsupported gather /
+            # dynamic_slice on v5e ("Only 2D gather is supported"), and
+            # fori_loop's index stays a tracer even under unroll=True, which
+            # rejects the static slice at trace time
+            # (scripts/probe_iw_bwd.py P4 vs P6).
+            oh = jnp.zeros((TILE, window), jnp.float32)
+            for k in range(8):
+                idx = i_scratch[j % nbuf][k:k + 1, :]
+                hit = jnp.where(idx == vrows, one_bits, 0)
+                oh = oh + (pltpu.bitcast(hit, jnp.float32)
+                           * w_scratch[j % nbuf][k:k + 1, :])
             acc_ref[...] += jax.lax.dot_general(
                 oh, g_scratch[j % nbuf],
                 dimension_numbers=(((1,), (0,)), ((), ())),

@@ -61,11 +61,16 @@ def main():
     from csn_tpu.core.conv import sparse_conv
 
     def conv_pair(name, n_in, n_out, cin, cout, mirror):
-        kmap = jb.kmaps[name]
+        from csn_tpu.core.pyramid import decode_kmap
         from csn_tpu.models.layers import transpose_map_name
 
+        # decode the int16 wire tables exactly as SparseConv does
+        # (models/layers.py): raw wire kmaps reaching the Pallas kernels
+        # are an i16 vector.load Mosaic cannot align
+        kmap = decode_kmap(jb.kmaps[name], n_in)
         tname, mir = transpose_map_name(name)
-        kmap_t = kmap if tname == name else jb.kmaps[tname]
+        kmap_t = (kmap if tname == name
+                  else decode_kmap(jb.kmaps[tname], n_out))
         win = jb.kmaps.get("win!" + name)
         k = kmap.shape[0]
         ks = int(name.rsplit("k", 1)[1])
