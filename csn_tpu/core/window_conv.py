@@ -384,6 +384,66 @@ def dyng_im2col_fits(K: int, c_pack: int) -> bool:
     return TILE * K * c_pack * 2 <= mb * 1e6
 
 
+BANK = 128
+
+
+def banked_mode() -> bool:
+    """Bank-factored one-hot (pack == 1 kernels): build ONE [T, 128] lane
+    one-hot per offset and apply each 128-row window bank with a [T, 1]
+    bank-indicator multiply + [T,128]@[128,C] matmul, instead of the full
+    [T, window] compare/select/downcast chain. Identical arithmetic (each
+    valid rel hits exactly one (bank, lane) pair; invalid rel matches no
+    bank) and MXU MACs unchanged — but MEASURED SLOWER on v5e (same0k3 fwd
+    4.3 -> 6.1 ms, k5 stem 10.1 -> 17.6 at the B=16 opbench protocol,
+    2026-08-18): the [T, 1] indicator construction/broadcast and the
+    window//BANK separate matmul issues cost more VPU time than the
+    narrower compare saves, the same verdict as the lane-packed experiment
+    (CSN_PACK). Third refutation of a structural one-hot attack (pack,
+    narrow windows, banks) — the flat W=384 one-hot chain stands as the
+    v5e floor. Opt-in for future hardware gens."""
+    import os
+
+    return os.environ.get("CSN_BANKED", "0") == "1"
+
+
+def _banked_gather(rows, start, n_in, window, win_bf):
+    """[T, C] f32 == _dot(_onehot_tile(rows, ...), win_bf) via the bank
+    factorization (see banked_mode). rel < 0 (sentinel) and rel >= window
+    (row owned by another job of this tile) match no bank: `hi` is an
+    arithmetic shift, so invalid rows have hi < 0 or hi >= window//BANK
+    while `lo`'s wrapped lane hit is zeroed by the all-zero indicator."""
+    rel = jnp.where(rows < n_in, rows - start, -1)
+    lo = rel & (BANK - 1)
+    hi = rel >> 7
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE, BANK), 1)
+    one_bits = jnp.int32(0x3F800000)  # bits of 1.0f
+    oh_lo = pltpu.bitcast(jnp.where(lo[:, None] == cols, one_bits, 0),
+                          jnp.float32).astype(jnp.bfloat16)
+    acc = None
+    for h in range(window // BANK):
+        mh = pltpu.bitcast(jnp.where(hi == h, one_bits, 0)[:, None],
+                           jnp.float32).astype(jnp.bfloat16)
+        part = _dot(oh_lo * mh, win_bf[h * BANK:(h + 1) * BANK],
+                    ((1,), (0,)))
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _gather_tile(rows, start, n_in, window, pack, c_pack, win_bf):
+    """One offset's window gather [T, pack*c_pack] f32: the banked
+    factorization when enabled (pack == 1, window a multiple of BANK),
+    else the flat one-hot matmul (+ lane select for packed windows).
+    banked_mode() is read at trace time — same env-flip caching semantics
+    as CSN_DYNG/CSN_PACK (a warm jit cache keeps the traced mode)."""
+    if banked_mode() and pack == 1 and window % BANK == 0 and window > BANK:
+        return _banked_gather(rows, start, n_in, window, win_bf)
+    onehot = _onehot_tile(rows, start, n_in, window, pack)
+    gthr = _dot(onehot, win_bf, ((1,), (0,)))
+    if pack > 1:
+        gthr = _lane_select(gthr, rows, start, pack, c_pack)
+    return gthr
+
+
 def _gather_rows(win_bf, rows, start, n_in, window):
     """[T, lanes] f32 masked row gather: out[i] = win_bf[rows[i] - start]
     when rows[i] is a real source inside THIS job's window, else 0. The
@@ -453,10 +513,8 @@ def _wjobs_fwd_kernel(meta_ref, kmap_ref, feats_hbm, w_ref, out_ref,
         def body(i, _):
             k = g * group + i
             rows = kmap_ref[k, :]
-            onehot = _onehot_tile(rows, start, n_in, window, pack)
-            gthr = _dot(onehot, win_bf, ((1,), (0,)))   # [T, pack*c_pack]
-            if pack > 1:
-                gthr = _lane_select(gthr, rows, start, pack, c_pack)
+            gthr = _gather_tile(rows, start, n_in, window, pack, c_pack,
+                                win_bf)                 # [T, pack*c_pack]
             acc_ref[...] += _dot(gthr.astype(jnp.bfloat16), w_ref[k],
                                  ((1,), (0,)))                 # [T, Cout]
             return ()
@@ -523,10 +581,8 @@ def _wjobs_bwd_kernel(meta_ref, kmap_ref, f_tile_ref, g_hbm, wt_ref,
         def body(i, _):
             k = g * group + i
             rows = kmap_ref[k, :]
-            onehot = _onehot_tile(rows, start, n_in, window, pack)
-            gg = _dot(onehot, win_bf, ((1,), (0,)))   # [T, pack*c_pack]
-            if pack > 1:
-                gg = _lane_select(gg, rows, start, pack, c_pack)
+            gg = _gather_tile(rows, start, n_in, window, pack, c_pack,
+                              win_bf)                 # [T, pack*c_pack]
             ggb = gg.astype(jnp.bfloat16)
             if not dw_only:
                 acc_ref[...] += _dot(ggb, wt_ref[k],
@@ -603,10 +659,8 @@ def _tile_fwd_kernel(meta_ref, kmap_ref, feats_hbm, w_ref, out_ref,
                 if dyng:
                     gthr = _gather_rows(win_bf, rows, start, n_in, window)
                 else:
-                    onehot = _onehot_tile(rows, start, n_in, window, pack)
-                    gthr = _dot(onehot, win_bf, ((1,), (0,)))
-                    if pack > 1:
-                        gthr = _lane_select(gthr, rows, start, pack, c_pack)
+                    gthr = _gather_tile(rows, start, n_in, window, pack,
+                                        c_pack, win_bf)
                 acc_ref[...] += _dot(gthr.astype(jnp.bfloat16), w_ref[k],
                                      ((1,), (0,)))
                 return ()
@@ -667,10 +721,8 @@ def _tile_bwd_kernel(meta_ref, kmap_ref, f_tile_ref, g_hbm, wt_ref,
                 if dyng:
                     gg = _gather_rows(win_bf, rows, start, n_in, window)
                 else:
-                    onehot = _onehot_tile(rows, start, n_in, window, pack)
-                    gg = _dot(onehot, win_bf, ((1,), (0,)))
-                    if pack > 1:
-                        gg = _lane_select(gg, rows, start, pack, c_pack)
+                    gg = _gather_tile(rows, start, n_in, window, pack,
+                                      c_pack, win_bf)
                 ggb = gg.astype(jnp.bfloat16)
                 if not dw_only:
                     acc_ref[...] += _dot(ggb, wt_ref[k], ((1,), (0,)))

@@ -443,3 +443,17 @@ def test_window_conv_dyngather_parity_on_tpu(monkeypatch, mode):
     check("down0k3", 64, 128, "up0k3", False)
     check("up0k3", 128, 64, "down0k3", False)
     check("same0k5", 3, 32, "same0k5", True, group=25)
+
+
+def test_window_conv_banked_onehot_parity_on_tpu(monkeypatch):
+    """CSN_BANKED=1 (bank-factored one-hot, window_conv.banked_mode) vs the
+    XLA gather path. Opt-in only: measured SLOWER on v5e (same0k3 fwd
+    4.3 -> 6.1 ms, k5 stem 10.1 -> 17.6 — the [T, 1] bank indicators and
+    split matmuls cost more than the narrower compare saves), the third
+    refuted structural one-hot attack after CSN_PACK and narrow windows;
+    exactness stays covered here for future hardware gens."""
+    monkeypatch.setenv("CSN_BANKED", "1")
+    check = _window_conv_parity_check(rng_seed=7)
+    check("same0k3", 64, 64, "same0k3", True)
+    check("down0k3", 64, 128, "up0k3", False)
+    check("same0k5", 3, 32, "same0k5", True, group=25)

@@ -292,3 +292,16 @@ def test_grad_traces_lane_packed_kernels(geom, monkeypatch):
     # them under the env via align_for_map/window_for_map
     _trace_case(geom, "same0k3", 32, 64, "same0k3", True, 9, jnp.bfloat16)
     _trace_case(geom, "same0k5", 3, 32, "same0k5", True, 25, jnp.bfloat16)
+
+
+def test_grad_traces_banked_onehot_kernels(geom, monkeypatch):
+    """CSN_BANKED=1 (bank-factored one-hot: one [T, 128] lane one-hot per
+    offset + per-bank indicator multiplies; measured slower on v5e, kept
+    opt-in) traces through fwd + fused bwd in both kernel families."""
+    monkeypatch.setenv("CSN_BANKED", "1")
+    for tile_grid in ("0", "1"):
+        monkeypatch.setenv("CSN_TILE_GRID", tile_grid)
+        _trace_case(geom, "same0k3", 64, 64, "same0k3", True, 9,
+                    jnp.bfloat16)
+        _trace_case(geom, "same0k5", 3, 32, "same0k5", True, 25,
+                    jnp.bfloat16)
