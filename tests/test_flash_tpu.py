@@ -433,8 +433,13 @@ def test_window_conv_dyngather_parity_on_tpu(monkeypatch, mode):
     try:
         check("same0k3", 64, 64, "same0k3", True)
     except Exception as e:  # noqa: BLE001
+        # v5e verdict (scripts/probe_dyngather2.py): tpu.dynamic_gather
+        # demands input==indices==output shapes ("Shape mismatch in input,
+        # indices and output") AND a single source vreg along the gather
+        # dim — these modes can never lower on this hardware gen.
         if "omparison" in str(e) or "gather" in str(e).lower() \
-                or "Mosaic" in str(e) or "lower" in str(e).lower():
+                or "Mosaic" in str(e) or "lower" in str(e).lower() \
+                or "Shape mismatch in input" in str(e):
             import pytest as _pt
             _pt.skip(f"Mosaic cannot lower the dynamic gather: "
                      f"{str(e).splitlines()[0][:120]}")
