@@ -159,6 +159,19 @@ def _check_drop_seed_bounds(lqp: int, lkp: int, block_q: int):
             f"widen the fold in _drop_mask before running at this scale")
 
 
+def fwd_vmem_budget(dk_dim, dv, block_q, block_k, n_tmp: int = 3):
+    """Scoped-VMEM request for the forward kernel: q/k/v/out/mask blocks
+    with 2x pipelining headroom, the m/l/acc scratch, and the
+    [block_q, block_k] f32 stack temporaries (s, p, dropout mask), floored
+    at the 16 MB default."""
+    blocks = (block_q * (dk_dim + dv)            # q block + out block
+              + block_k * (dk_dim + dv)          # k + v blocks
+              + 2 * block_k + 2 * block_q)       # masks + lse out
+    scratch = (2 * block_q * 128 + block_q * dv) * 4
+    tmps = n_tmp * block_q * block_k * 4
+    return max(16 * 1024 * 1024, 4 * blocks * 4 + scratch + tmps + (1 << 20))
+
+
 def weakest_vmem_budget(lqp, dk_dim, dv, block_q, block_k, n_tmp: int = 5):
     """Scoped-VMEM request for the fused backward: all live buffers with 2x
     pipelining headroom, plus the [block_q, block_k] f32 kernel stack
@@ -215,12 +228,27 @@ def _prep(q, k, v, kv_mask, q_mask, block_q, block_k):
             vp.reshape(b * h, lkp, dv), mp, qmp, block_q, block_k, lqp, lkp)
 
 
+def _block_override(name: str, default: int) -> int:
+    """CSN_FLASH_{FQ,FK,BQ,BK} env overrides for block-size A/Bs (read at
+    trace time, same caching semantics as the other CSN_* knobs)."""
+    import os
+
+    return int(os.environ.get(name, default))
+
+
 def _flash_forward(q, k, v, kv_mask, q_mask, temperature: float,
                    dropout: float = 0.0, seed=None,
-                   block_q: int = 512, block_k: int = 1024):
+                   block_q: int = None, block_k: int = None):
     # block_k 1024: 512 would avoid the k/v pad to 6144 at the L0 cap
     # (~1.2 ms of pad+slice), but the extra per-block overhead measured
     # worse end-to-end (281 vs 275 ms/step).
+    # fwd block_k 2048 (A/B 2026-08-18, B=16 L0 micro: fwd 16.7 -> 15.8,
+    # fwd+bwd 35.2 -> 34.3 ms; block_q 1024 was a wash and 1024+2048
+    # together blow scoped VMEM): fewer grid steps on the kv axis amortize
+    # the per-block m/l bookkeeping. The explicit vmem_limit below keeps
+    # larger head dims (MID-FC dk=128) from tripping the 16 MB default.
+    block_q = _block_override("CSN_FLASH_FQ", block_q or 512)
+    block_k = _block_override("CSN_FLASH_FK", block_k or 2048)
     b, h, lq, dk = q.shape
     dv = v.shape[-1]
     qf, kf, vf, mp, qmp, block_q, block_k, lqp, lkp = _prep(
@@ -259,6 +287,8 @@ def _flash_forward(q, k, v, kv_mask, q_mask, temperature: float,
             pltpu.VMEM((block_q, LANES), jnp.float32),
             pltpu.VMEM((block_q, dv), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=fwd_vmem_budget(dk, dv, block_q, block_k)),
     )(seed_arr, qf, kf, vf, mp, qmp)
     return (out.reshape(b, h, lqp, dv)[:, :, :lq, :],
             lse.reshape(b, h, lqp)[:, :, :lq])
@@ -366,11 +396,13 @@ def _bwd_fused_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
 def _flash_backward(q, k, v, kv_mask, q_mask, out, lse, g, temperature: float,
                     dropout: float = 0.0, seed=None,
-                    block_q: int = 512, block_k: int = 768):
+                    block_q: int = None, block_k: int = None):
     # block_k 768 (vs 1024 forward): the fused kernel's [block_q, block_k]
     # f32 stack temporaries (s/p/dp/ds/dropout) plus the resident dq plane
     # exceed the 16 MB scoped-vmem budget at 1024; 512 measured worse
     # (more per-block overhead).
+    block_q = _block_override("CSN_FLASH_BQ", block_q or 512)
+    block_k = _block_override("CSN_FLASH_BK", block_k or 768)
     b, h, lq, dk_dim = q.shape
     lk = k.shape[2]
     dv = v.shape[-1]
