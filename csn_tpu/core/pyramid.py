@@ -261,14 +261,25 @@ KMAP_SENT16 = 32767
 
 def encode_kmap16(kmap: np.ndarray, n_in: int):
     """int32 [K, n_out] absolute table -> int16 delta table, or None when
-    the geometry's spread exceeds int16 (caller keeps int32; logged)."""
+    the geometry's spread exceeds int16 (caller keeps int32; logged).
+
+    Hot on the host path (the k5 stem table alone is 5.6M entries, encoded
+    every batch): single int32 pass + where= reductions — the original
+    int64 math with `delta[~sent]` boolean fancy-indexing cost ~1.2 s/batch
+    on this host vs ~50 ms for this form (e2e bench 2026-08-18)."""
     K, n_out = kmap.shape
     st = (WIRE_TILE * n_in) // max(n_out, 1)
-    base = (np.arange(n_out, dtype=np.int64) // WIRE_TILE) * st
-    delta = kmap.astype(np.int64) - base[None, :]
-    sent = kmap >= n_in
-    lo, hi = delta[~sent].min() if (~sent).any() else 0, \
-        delta[~sent].max() if (~sent).any() else 0
+    if n_in >= (1 << 30):  # delta could overflow int32; unreachable at
+        return None        # padded conv scales (n_in = B * level_cap)
+    base = ((np.arange(n_out, dtype=np.int32) // WIRE_TILE)
+            * np.int32(st))
+    delta = kmap - base[None, :]               # int32, one pass
+    valid = kmap < n_in
+    if valid.any():
+        lo = int(np.min(delta, where=valid, initial=np.iinfo(np.int32).max))
+        hi = int(np.max(delta, where=valid, initial=np.iinfo(np.int32).min))
+    else:
+        lo = hi = 0
     if lo < -32768 or hi >= KMAP_SENT16:
         import logging
 
@@ -276,7 +287,9 @@ def encode_kmap16(kmap: np.ndarray, n_in: int):
             "kmap delta range [%d, %d] exceeds int16; keeping int32 "
             "(one retrace)", lo, hi)
         return None
-    return np.where(sent, KMAP_SENT16, delta).astype(np.int16)
+    out = delta.astype(np.int16)               # exact: range checked above
+    out[~valid] = KMAP_SENT16
+    return out
 
 
 def decode_kmap(kmap, n_in: int):
