@@ -31,12 +31,14 @@ import dataclasses
 import enum
 import itertools
 import os
+import threading
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 
 _POOL = None
+_POOL_INIT_LOCK = threading.Lock()
 
 
 def _host_pool():
@@ -52,10 +54,15 @@ def _host_pool():
     """
     global _POOL
     if _POOL is None:
-        from concurrent.futures import ThreadPoolExecutor
+        with _POOL_INIT_LOCK:
+            if _POOL is None:  # double-checked: callers race (the trainer
+                # builds query + neighbor batches concurrently); without
+                # the lock each racer creates a pool and one leaks its 8
+                # threads
+                from concurrent.futures import ThreadPoolExecutor
 
-        _POOL = ThreadPoolExecutor(max_workers=8,
-                                   thread_name_prefix="csn-host")
+                _POOL = ThreadPoolExecutor(max_workers=8,
+                                           thread_name_prefix="csn-host")
     return _POOL
 
 

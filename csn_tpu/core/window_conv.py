@@ -414,7 +414,7 @@ def _banked_gather(rows, start, n_in, window, win_bf):
     while `lo`'s wrapped lane hit is zeroed by the all-zero indicator."""
     rel = jnp.where(rows < n_in, rows - start, -1)
     lo = rel & (BANK - 1)
-    hi = rel >> 7
+    hi = rel >> (BANK.bit_length() - 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (TILE, BANK), 1)
     one_bits = jnp.int32(0x3F800000)  # bits of 1.0f
     oh_lo = pltpu.bitcast(jnp.where(lo[:, None] == cols, one_bits, 0),
@@ -597,6 +597,29 @@ def _wjobs_bwd_kernel(meta_ref, kmap_ref, f_tile_ref, g_hbm, wt_ref,
         dfeats_ref[...] = acc_ref[...].astype(dfeats_ref.dtype)
 
 
+def skip_empty() -> bool:
+    """Per-offset empty skip in the tile-grid kernels (CSN_SKIP_EMPTY=1):
+    wrap each offset's one-hot gather + matmuls in pl.when(any valid row).
+    Host-side measurement (scripts/probe_offset_skip.py, bench geometry
+    B=16): ~11% of (job, offset) pairs gather ZERO valid rows (stem 10.9%,
+    same0k3 8.7%, up0k3 14.5%), so the ceiling is ~11% of the inner loop;
+    the guard itself is one [T] compare-reduce on the already-resident kmap
+    row plus a scalar branch per offset. Exactness is unconditional: a
+    skipped offset's one-hot is all-zero, so its f32 accumulations are
+    exact zeros.
+
+    MEASURED REGRESSION on v5e (opbench B=16, 2026-08-18): same0k3 64->64
+    fwd 4.61 -> 7.82 ms, k5 stem fwd ~10 -> 26.6, every map 1.5-2x slower —
+    the per-offset vector->scalar `any` reduce + pl.when predication breaks
+    the unrolled inner-loop pipeline, costing far more than the ~11% of
+    offsets it skips. FIFTH refuted structural attack on the one-hot loop
+    (after lane-pack, narrow windows, dynamic gather, bank factorization);
+    opt-in for future hardware gens, parity-tested."""
+    import os
+
+    return os.environ.get("CSN_SKIP_EMPTY", "0") == "1"
+
+
 def tile_grid_enabled() -> bool:
     """Tile-grid kernels (one grid step per OUTPUT TILE, inner dynamic loop
     over that tile's jobs): the kmap block and out block are loaded/flushed
@@ -656,13 +679,24 @@ def _tile_fwd_kernel(meta_ref, kmap_ref, feats_hbm, w_ref, out_ref,
             def body(i, _):
                 k = g * group + i
                 rows = kmap_ref[k, :]
-                if dyng:
-                    gthr = _gather_rows(win_bf, rows, start, n_in, window)
+
+                def compute():
+                    if dyng:
+                        gthr = _gather_rows(win_bf, rows, start, n_in,
+                                            window)
+                    else:
+                        gthr = _gather_tile(rows, start, n_in, window,
+                                            pack, c_pack, win_bf)
+                    acc_ref[...] += _dot(gthr.astype(jnp.bfloat16),
+                                         w_ref[k], ((1,), (0,)))
+
+                if skip_empty():
+                    rel = rows - start
+                    hit = jnp.any((rows < n_in) & (rel >= 0)
+                                  & (rel < window))
+                    pl.when(hit)(compute)
                 else:
-                    gthr = _gather_tile(rows, start, n_in, window, pack,
-                                        c_pack, win_bf)
-                acc_ref[...] += _dot(gthr.astype(jnp.bfloat16), w_ref[k],
-                                     ((1,), (0,)))
+                    compute()
                 return ()
 
             jax.lax.fori_loop(0, group, body, (), unroll=True)
@@ -718,15 +752,26 @@ def _tile_bwd_kernel(meta_ref, kmap_ref, f_tile_ref, g_hbm, wt_ref,
             def body(i, _):
                 k = g * group + i
                 rows = kmap_ref[k, :]
-                if dyng:
-                    gg = _gather_rows(win_bf, rows, start, n_in, window)
+
+                def compute():
+                    if dyng:
+                        gg = _gather_rows(win_bf, rows, start, n_in,
+                                          window)
+                    else:
+                        gg = _gather_tile(rows, start, n_in, window, pack,
+                                          c_pack, win_bf)
+                    ggb = gg.astype(jnp.bfloat16)
+                    if not dw_only:
+                        acc_ref[...] += _dot(ggb, wt_ref[k], ((1,), (0,)))
+                    dw_ref[k, :, :] += _dot(f_bf, ggb, ((0,), (0,)))
+
+                if skip_empty():
+                    rel = rows - start
+                    hit = jnp.any((rows < n_in) & (rel >= 0)
+                                  & (rel < window))
+                    pl.when(hit)(compute)
                 else:
-                    gg = _gather_tile(rows, start, n_in, window, pack,
-                                      c_pack, win_bf)
-                ggb = gg.astype(jnp.bfloat16)
-                if not dw_only:
-                    acc_ref[...] += _dot(ggb, wt_ref[k], ((1,), (0,)))
-                dw_ref[k, :, :] += _dot(f_bf, ggb, ((0,), (0,)))
+                    compute()
                 return ()
 
             jax.lax.fori_loop(0, group, body, (), unroll=True)

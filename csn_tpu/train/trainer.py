@@ -339,17 +339,29 @@ class BaseTrainer:
         B = self.config.batch_size
         chunks = [idxs[d * B:(d + 1) * B] for d in range(self.n_data)]
         rngs = rng.spawn(self.n_data * self.n_col)
-        per_data = []
-        for d, ch in enumerate(chunks):
-            row = [build_batch_from_dataset(
-                self.train_dataset, ch, self.spec, rngs[d * self.n_col],
-                augment, self.config.train_limit_numpoints)]
-            for k in range(self.K):
-                nbr = [self.train_dataset.neighbors[i][1][k] for i in ch]
-                row.append(build_batch_from_dataset(
-                    self.train_dataset, nbr, self.spec,
-                    rngs[d * self.n_col + 1 + k], augment))
-            per_data.append(row)
+        # the n_data*(K+1) builds are independent (per-slot pre-spawned
+        # rngs); run them concurrently like the single-device K>0 path.
+        # NOT _host_pool: build_batch_from_dataset submits nested jobs
+        # into it, so queueing the outer builds there can starve the pool.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def build(d, c):
+            if c == 0:
+                return build_batch_from_dataset(
+                    self.train_dataset, chunks[d], self.spec,
+                    rngs[d * self.n_col], augment,
+                    self.config.train_limit_numpoints)
+            nbr = [self.train_dataset.neighbors[i][1][c - 1]
+                   for i in chunks[d]]
+            return build_batch_from_dataset(
+                self.train_dataset, nbr, self.spec,
+                rngs[d * self.n_col + c], augment)
+
+        with ThreadPoolExecutor(
+                max_workers=self.n_data * self.n_col) as ex:
+            futs = [[ex.submit(build, d, c) for c in range(self.n_col)]
+                    for d in range(self.n_data)]
+            per_data = [[f.result() for f in row] for row in futs]
         return stack_collection(per_data), ()
 
     # -- train loop -----------------------------------------------------------

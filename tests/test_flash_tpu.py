@@ -450,6 +450,21 @@ def test_window_conv_dyngather_parity_on_tpu(monkeypatch, mode):
     check("same0k5", 3, 32, "same0k5", True, group=25)
 
 
+def test_window_conv_skip_empty_parity_on_tpu(monkeypatch):
+    """CSN_SKIP_EMPTY=1 (per-offset pl.when(any valid) around the one-hot
+    gather + matmuls in the tile-grid kernels; ~11% of (job, offset) pairs
+    are empty at bench geometry — scripts/probe_offset_skip.py) vs the XLA
+    gather path. Exactness is unconditional (a skipped offset contributes
+    exact zeros); this pins the pl.when wiring fwd + fused bwd across the
+    same/strided/k5 family."""
+    monkeypatch.setenv("CSN_SKIP_EMPTY", "1")
+    check = _window_conv_parity_check(rng_seed=13)
+    check("same0k3", 64, 64, "same0k3", True)
+    check("down0k3", 64, 128, "up0k3", False)
+    check("up0k3", 128, 64, "down0k3", False)
+    check("same0k5", 3, 32, "same0k5", True, group=25)
+
+
 def test_window_conv_banked_onehot_parity_on_tpu(monkeypatch):
     """CSN_BANKED=1 (bank-factored one-hot, window_conv.banked_mode) vs the
     XLA gather path. Opt-in only: measured SLOWER on v5e (same0k3 fwd

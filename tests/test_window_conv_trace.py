@@ -88,6 +88,16 @@ def test_grad_traces_tile_grid_variants(geom, monkeypatch, dyng, dtype):
     _trace_case(geom, "same0k5", 3, 32, "same0k5", True, 25, dtype)
 
 
+def test_grad_traces_skip_empty_kernels(geom, monkeypatch):
+    """CSN_SKIP_EMPTY=1 (per-offset pl.when(any valid) skip in the
+    tile-grid kernels) traces fwd+bwd across the map family."""
+    monkeypatch.setenv("CSN_TILE_GRID", "1")
+    monkeypatch.setenv("CSN_SKIP_EMPTY", "1")
+    _trace_case(geom, "same0k3", 64, 64, "same0k3", True, 9, jnp.bfloat16)
+    _trace_case(geom, "down0k3", 64, 128, "up0k3", False, 9, jnp.bfloat16)
+    _trace_case(geom, "same0k5", 3, 32, "same0k5", True, 25, jnp.bfloat16)
+
+
 def test_dyng_im2col_vmem_guard(monkeypatch):
     """DYNG>=2 maps whose [TILE, K*c_pack] scratch would crowd VMEM demote
     to the per-offset gather: the k5 stem (125 offsets x 128 lanes =
