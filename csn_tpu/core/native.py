@@ -69,6 +69,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)]
     except AttributeError:  # stale .so without the symbol
         pass
+    try:
+        lib.csn_encode_kmap16.restype = ctypes.c_int32
+        lib.csn_encode_kmap16.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int16)]
+    except AttributeError:  # stale .so without the symbol
+        pass
     _LIB = lib
     return _LIB
 
@@ -150,3 +157,25 @@ def window_jobs_native(kmap: np.ndarray, n_in: int, tile: int, window: int,
     if n < 0:
         return -1
     return meta
+
+
+def encode_kmap16_native(kmap: np.ndarray, n_in: int, wire_tile: int,
+                         sent16: int = 32767):
+    """C++ compact kernel-map encode (csrc csn_encode_kmap16). Returns the
+    int16 delta table, -1 when the geometry's delta range exceeds int16
+    (caller keeps int32), or None when the native engine is unavailable
+    (callers fall back to the numpy encoder). Bit-identical to
+    core/pyramid.py encode_kmap16 (tested)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "csn_encode_kmap16"):
+        return None
+    kmap = np.ascontiguousarray(kmap, dtype=np.int32)
+    k, n_out = kmap.shape
+    out = np.empty((k, n_out), dtype=np.int16)
+    rc = lib.csn_encode_kmap16(
+        kmap.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        k, n_out, n_in, wire_tile,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+    if rc < 0:
+        return -1
+    return out

@@ -271,13 +271,26 @@ def encode_kmap16(kmap: np.ndarray, n_in: int):
     the geometry's spread exceeds int16 (caller keeps int32; logged).
 
     Hot on the host path (the k5 stem table alone is 5.6M entries, encoded
-    every batch): single int32 pass + where= reductions — the original
-    int64 math with `delta[~sent]` boolean fancy-indexing cost ~1.2 s/batch
-    on this host vs ~50 ms for this form (e2e bench 2026-08-18)."""
+    every batch): dispatched to the C++ engine when built (csrc
+    csn_encode_kmap16, bit-identical, GIL-released; to_jax(compact)
+    994 -> ~54 ms/batch at bench scale on this host) with this numpy form
+    as the fallback — itself a rewrite of the original int64 math with
+    `delta[~sent]` boolean fancy-indexing (~1.2 s/batch)."""
     K, n_out = kmap.shape
     st = (WIRE_TILE * n_in) // max(n_out, 1)
     if n_in >= (1 << 30):  # delta could overflow int32; unreachable at
         return None        # padded conv scales (n_in = B * level_cap)
+    from csn_tpu.core.native import encode_kmap16_native
+
+    enc = encode_kmap16_native(kmap, n_in, WIRE_TILE, KMAP_SENT16)
+    if enc is not None:
+        if isinstance(enc, np.ndarray):
+            return enc
+        import logging  # enc == -1: delta range exceeds int16
+
+        logging.warning(
+            "kmap delta range exceeds int16; keeping int32 (one retrace)")
+        return None
     base = ((np.arange(n_out, dtype=np.int32) // WIRE_TILE)
             * np.int32(st))
     delta = kmap - base[None, :]               # int32, one pass

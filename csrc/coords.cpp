@@ -315,4 +315,40 @@ int64_t csn_window_jobs(const int32_t* kmap, int64_t K, int64_t n_out,
   return n_jobs;
 }
 
+// Compact kernel-map wire encoding (core/pyramid.py encode_kmap16): int32
+// [K, n_out] absolute table -> int16 delta vs the per-tile linear
+// predictor base(t) = t * (wire_tile * n_in / n_out); sentinel (>= n_in)
+// -> 32767. Returns 0 on success, -1 when any valid delta exceeds int16
+// (caller keeps the int32 table; `out` contents are then undefined).
+// This runs per batch per odd-kernel map (the k5 stem table alone is
+// 5.6M entries) and was the dominant to_jax() host cost as numpy
+// (~0.55 s/batch); ctypes releases the GIL so encodes overlap.
+int32_t csn_encode_kmap16(const int32_t* kmap, int64_t K, int64_t n_out,
+                          int64_t n_in, int64_t wire_tile, int16_t* out) {
+  const int64_t st = n_out > 0 ? (wire_tile * n_in) / n_out : 0;
+  int32_t lo = INT32_MAX, hi = INT32_MIN;
+  for (int64_t k = 0; k < K; ++k) {
+    const int32_t* row = kmap + k * n_out;
+    int16_t* orow = out + k * n_out;
+    for (int64_t t0 = 0; t0 < n_out; t0 += wire_tile) {
+      const int32_t base = (int32_t)((t0 / wire_tile) * st);
+      const int64_t t1 = t0 + wire_tile < n_out ? t0 + wire_tile : n_out;
+      for (int64_t i = t0; i < t1; ++i) {
+        const int32_t v = row[i];
+        if (v < n_in) {
+          const int32_t d = v - base;
+          lo = d < lo ? d : lo;
+          hi = d > hi ? d : hi;
+          orow[i] = (int16_t)d;  // truncation harmless: output is
+                                 // discarded when we return -1 below
+        } else {
+          orow[i] = 32767;
+        }
+      }
+    }
+  }
+  if (lo != INT32_MAX && (lo < -32768 || hi >= 32767)) return -1;
+  return 0;
+}
+
 }  // extern "C"

@@ -338,6 +338,50 @@ def test_compact_wire_roundtrip():
     assert encode_kmap16(big, 130000) is None
 
 
+def test_encode_kmap16_native_matches_numpy(monkeypatch):
+    """The C++ wire encoder (csrc csn_encode_kmap16) is bit-identical to
+    the numpy reference over randomized tables: mixed sentinels, all-
+    sentinel rows, negative deltas, and the int16-overflow decline."""
+    from csn_tpu.core import native
+    from csn_tpu.core import pyramid as P
+
+    if not native.available() or native.encode_kmap16_native(
+            np.zeros((1, 4), np.int32), 4, P.WIRE_TILE) is None:
+        import pytest as _pt
+        _pt.skip("native engine unavailable")
+
+    rng = np.random.default_rng(3)
+    cases = []
+    for n_out in (256, 512, 1280):
+        for K in (1, 9, 27):
+            n_in = int(rng.integers(64, 4 * n_out))
+            base = (np.arange(n_out) // P.WIRE_TILE) * (
+                (P.WIRE_TILE * n_in) // n_out)
+            km = (base[None, :]
+                  + rng.integers(-300, 300, size=(K, n_out))).astype(
+                      np.int32)
+            km = np.clip(km, 0, n_in - 1)
+            km[rng.random(size=km.shape) < 0.3] = n_in  # sentinels
+            cases.append((km, n_in))
+    cases.append((np.full((3, 256), 77, np.int32), 77))   # all sentinel
+    big = np.zeros((2, 512), np.int32)
+    big[0, ::2] = 120000                                  # overflow
+    cases.append((big, 130000))
+    for km, n_in in cases:
+        nat = native.encode_kmap16_native(km, n_in, P.WIRE_TILE)
+        # force the numpy path for the reference result
+        monkeypatch.setattr(native, "encode_kmap16_native",
+                            lambda *a, **k: None)
+        ref = P.encode_kmap16(km, n_in)
+        monkeypatch.undo()
+        if ref is None:
+            assert nat == -1 or nat is None
+        else:
+            np.testing.assert_array_equal(np.asarray(nat), ref)
+            # and the dispatcher returns the same table
+            np.testing.assert_array_equal(P.encode_kmap16(km, n_in), ref)
+
+
 def test_concat_jax_batches_mixed_wire_and_missing_worklists(caplog):
     """Per-batch wire fallbacks in ONE input (int32 interp table, a dropped
     win! worklist after overflow) must not crash or corrupt the concat: a
