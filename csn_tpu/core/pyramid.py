@@ -747,8 +747,12 @@ def build_voxel_batch(
                 f"map {m.name} needs level {max(src_l, dst_l)} but spec has "
                 f"{nl}")
         Ld, Ls = spec.level_caps[dst_l], spec.level_caps[src_l]
-        kmaps[m.name] = np.full((m.num_offsets, B * Ld), B * Ls,
-                                dtype=np.int32)
+        # np.empty, not np.full: fill_shape writes EVERY [:, b*Ld:(b+1)*Ld]
+        # column slice unconditionally (sentinels included via np.where), and
+        # the sentinel pre-fill of these ~40 MB of fresh pages was the single
+        # largest host-collate cost (np.full 0.47 s/batch profiled at bench
+        # scale — first-touch page faults, paid again on the real write).
+        kmaps[m.name] = np.empty((m.num_offsets, B * Ld), dtype=np.int32)
 
     if use_native is None:
         try:
