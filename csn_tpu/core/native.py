@@ -76,6 +76,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int16)]
     except AttributeError:  # stale .so without the symbol
         pass
+    try:
+        lib.csn_globalize_kmap.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+    except AttributeError:  # stale .so without the symbol
+        pass
     _LIB = lib
     return _LIB
 
@@ -179,3 +186,24 @@ def encode_kmap16_native(kmap: np.ndarray, n_in: int, wire_tile: int,
     if rc < 0:
         return -1
     return out
+
+
+def globalize_kmap_native(local: np.ndarray, n_src: int, add: int, sent: int,
+                          out: np.ndarray, col0: int) -> bool:
+    """Fused C++ form of fill_shape's kmap globalization: write
+    `out[:, col0:col0+Ld] = where(0 <= local < n_src, add + local, sent)`
+    in one GIL-released pass (csrc csn_globalize_kmap). Returns False when
+    the native engine lacks the symbol (caller runs the numpy form).
+    `local` must be int32 [K, Ld]; `out` int32 C-contiguous [K, W]."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "csn_globalize_kmap"):
+        return False
+    assert local.dtype == np.int32 and local.flags.c_contiguous
+    assert out.dtype == np.int32 and out.flags.c_contiguous
+    k, ld = local.shape
+    base = out.ctypes.data + col0 * 4
+    lib.csn_globalize_kmap(
+        local.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        k, ld, n_src, add, sent,
+        ctypes.cast(base, ctypes.POINTER(ctypes.c_int32)), out.shape[1])
+    return True

@@ -762,6 +762,11 @@ def build_voxel_batch(
         except Exception:
             use_native = False
     builder = _shape_tables_native if use_native else _shape_tables_numpy
+    if use_native:
+        from csn_tpu.core.native import globalize_kmap_native \
+            as _native_globalize
+    else:
+        _native_globalize = None
 
     # Build the per-shape tables in parallel: the C++ engine releases the GIL
     # during its calls, so a thread pool scales across cores and keeps the
@@ -849,6 +854,11 @@ def build_voxel_batch(
             Ld, Ls = spec.level_caps[dst_l], spec.level_caps[src_l]
             n_src = int(num_voxels[src_l][b])
             local = tabs["kmaps"][m.name]  # [K, Ld] local ids, -1 missing
+            if (use_native and local.dtype == np.int32
+                    and local.flags.c_contiguous
+                    and _native_globalize(local, n_src, b * Ls, B * Ls,
+                                          kmaps[m.name], b * Ld)):
+                continue
             ok = (local >= 0) & (local < n_src)
             kmaps[m.name][:, b * Ld : (b + 1) * Ld] = np.where(
                 ok, b * Ls + local, B * Ls).astype(np.int32)

@@ -23,6 +23,13 @@ struct Level {
   std::vector<int32_t> coords;              // [n, 3]
   std::unordered_map<uint64_t, int32_t> map; // packed coord -> index
   int64_t n = 0;
+  // Sorted-key view for merge-join kernel maps (built lazily by
+  // csn_shape_kernel_map): skeys ascending, sidx[i] = original index of
+  // skeys[i]. Level 0 is already key-sorted at construction (sidx = iota).
+  std::vector<uint64_t> skeys;
+  std::vector<int32_t> sidx;
+  bool sorted_built = false;
+  int32_t max_abs_coord = 0;
 };
 
 // Pack signed 3D coords into a 64-bit key (21 bits per axis, offset bias).
@@ -158,11 +165,77 @@ void csn_shape_kernel_map(void* h, int32_t kind, int32_t level, int32_t ksize,
         idx++;
       }
 
+  // Merge-join fast path: pack() is linear in the coords while every axis
+  // field stays inside its 21-bit lane, so the neighbor key of a dst voxel
+  // is dst_key + delta with delta = ox<<42 + oy<<21 + oz — a constant
+  // shift that preserves sort order. Each offset row then reduces to one
+  // two-pointer merge of the (lazily sorted) dst/src key arrays instead of
+  // n hash lookups; at bench scale this cut csn_shape_kernel_map from
+  // ~150 ms to ~15 ms per 8-shape batch. Guard: coords (plus the largest
+  // offset) must stay well clear of the 2^20 lane bias so the per-axis
+  // sums can never carry into the neighboring field (a carry would alias a
+  // DIFFERENT coordinate, not just miss). Real PartNet geometry is
+  // |coord| < 2^12; anything bigger falls back to the hash loop.
+  auto build_sorted = [](Level& l) {
+    if (l.sorted_built) return;
+    l.skeys.resize(l.n);
+    l.sidx.resize(l.n);
+    int32_t mx = 0;
+    for (int64_t j = 0; j < l.n; ++j) {
+      l.skeys[j] = pack(l.coords[j * 3], l.coords[j * 3 + 1],
+                        l.coords[j * 3 + 2]);
+      l.sidx[j] = (int32_t)j;
+      for (int64_t a = 0; a < 3; ++a) {
+        int32_t c = l.coords[j * 3 + a];
+        mx = std::max(mx, c < 0 ? -c : c);
+      }
+    }
+    l.max_abs_coord = mx;
+    // level 0 is key-sorted by construction; higher levels are in
+    // parent-discovery order and need the argsort
+    if (!std::is_sorted(l.skeys.begin(), l.skeys.end())) {
+      std::vector<int64_t> ord(l.n);
+      for (int64_t j = 0; j < l.n; ++j) ord[j] = j;
+      std::sort(ord.begin(), ord.end(), [&](int64_t a, int64_t b) {
+        return l.skeys[a] < l.skeys[b];
+      });
+      std::vector<uint64_t> sk(l.n);
+      for (int64_t j = 0; j < l.n; ++j) {
+        sk[j] = l.skeys[ord[j]];
+        l.sidx[j] = (int32_t)ord[j];
+      }
+      l.skeys.swap(sk);
+    }
+    l.sorted_built = true;
+  };
+  build_sorted(src);
+  build_sorted(dst);
+  const int64_t max_off = (ksize / 2 + 1) * stride;
+  const bool safe = (int64_t)src.max_abs_coord + max_off < (1ll << 19) &&
+                    (int64_t)dst.max_abs_coord + max_off < (1ll << 19);
+
   for (int64_t k = 0; k < K; ++k) {
     int64_t ox = sign * offs[k * 3 + 0];
     int64_t oy = sign * offs[k * 3 + 1];
     int64_t oz = sign * offs[k * 3 + 2];
     int32_t* row = out + k * cap_dst;
+    if (safe) {
+      std::memset(row, 0xFF, cap_dst * sizeof(int32_t));  // -1
+      const int64_t delta = (ox << 42) + (oy << 21) + oz;
+      const uint64_t* sk = src.skeys.data();
+      const int64_t ns = src.n;
+      int64_t ps = 0;
+      for (int64_t js = 0; js < dst.n; ++js) {
+        const uint64_t target = dst.skeys[js] + (uint64_t)delta;
+        while (ps < ns && sk[ps] < target) ++ps;
+        if (ps == ns) break;
+        if (sk[ps] == target) {
+          const int32_t di = dst.sidx[js];
+          if (di < n) row[di] = src.sidx[ps];
+        }
+      }
+      continue;
+    }
     for (int64_t i = 0; i < n; ++i) {
       int64_t x = dst.coords[i * 3 + 0] + ox;
       int64_t y = dst.coords[i * 3 + 1] + oy;
@@ -349,6 +422,28 @@ int32_t csn_encode_kmap16(const int32_t* kmap, int64_t K, int64_t n_out,
   }
   if (lo != INT32_MAX && (lo < -32768 || hi >= 32767)) return -1;
   return 0;
+}
+
+// Kernel-map globalization (core/pyramid.py fill_shape): rewrite a
+// per-shape local [K, Ld] table (entries in [0, n_src) valid, anything
+// else missing) into the batch-global column block out[:, b*Ld:(b+1)*Ld]
+// as add + v (add = b*Ls) with sentinel `sent` (= B*Ls) for missing.
+// One fused pass; the numpy form ((>=0)&(<n_src) masks + np.where +
+// astype + slice assign) walked the ~40 MB of batch tables four times
+// and cost ~0.11 s/batch at bench scale. `out` points at column b*Ld of
+// the batch table; row_stride is its full width (B*Ld).
+void csn_globalize_kmap(const int32_t* local, int64_t K, int64_t Ld,
+                        int64_t n_src, int64_t add, int32_t sent,
+                        int32_t* out, int64_t row_stride) {
+  for (int64_t k = 0; k < K; ++k) {
+    const int32_t* lr = local + k * Ld;
+    int32_t* orow = out + k * row_stride;
+    for (int64_t i = 0; i < Ld; ++i) {
+      const int32_t v = lr[i];
+      // (v >= 0 && v < n_src) as one unsigned compare
+      orow[i] = ((uint32_t)v < (uint64_t)n_src) ? (int32_t)(add + v) : sent;
+    }
+  }
 }
 
 }  // extern "C"

@@ -245,6 +245,40 @@ def test_native_engine_matches_numpy():
                                atol=1e-5)
 
 
+def test_native_kernel_map_merge_join_guard():
+    """The native merge-join kernel maps (csrc csn_shape_kernel_map: packed
+    key + constant delta, two-pointer merge) fall back to hash lookups when
+    coords approach the 21-bit lane bias. Kernel maps are invariant under a
+    constant integer translation (sorted voxel order is preserved), so the
+    same shape shifted by +600000 voxels (> 2^19 guard -> hash path) must
+    produce bit-identical tables to the in-range shape (merge path)."""
+    from csn_tpu.core import native
+
+    if not native.available():
+        pytest.skip("native engine not built")
+    maps = [MapSpec("same", 0, 3), MapSpec("same", 0, 5),
+            MapSpec("down", 0, 3), MapSpec("up", 0, 3),
+            MapSpec("same", 1, 3)]
+    rng = np.random.default_rng(11)
+    c, f, lab = make_shape(rng, 400)
+    c = np.floor(c * 7.0)  # integer voxel-unit coords (voxel_size=1)
+    spec = PyramidSpec(voxel_size=1.0, num_points=400,
+                       level_caps=(448, 448, 448), maps=tuple(maps),
+                       qmode=QMode.UNWEIGHTED_AVERAGE)
+    vb_near = build_voxel_batch([(c, f, lab)], spec,
+                                rng=np.random.default_rng(5),
+                                use_native=True)
+    vb_far = build_voxel_batch([(c + 600000.0, f, lab)], spec,
+                               rng=np.random.default_rng(5),
+                               use_native=True)
+    for name in vb_near.kmaps:
+        np.testing.assert_array_equal(vb_near.kmaps[name],
+                                      vb_far.kmaps[name], err_msg=name)
+    np.testing.assert_array_equal(vb_near.point_to_voxel,
+                                  vb_far.point_to_voxel)
+    np.testing.assert_array_equal(vb_near.interp_idx, vb_far.interp_idx)
+
+
 def test_point_to_voxel_roundtrip():
     shapes, spec, vb = build([], n=200, B=2)
     B, L = vb.masks[0].shape
