@@ -405,6 +405,99 @@ def main():
     }))
 
 
+def run_midfc():
+    """MID-FC branch throughput: the CSA training step (grad + Adam apply)
+    at the reference's pretrained-model protocol — n_heads=8, K=4, 10000
+    points, d_model=256, 500-point chunked attention, Adam(0.5, 0.999)
+    (`MID-FC/README.md:86`, `csa_models.py:81-125`, `csa_training.py`).
+    Features are synthetic stand-ins for the fc_1 256-d per-point maps.
+    Run: BENCH_MODE=midfc python bench.py. BENCH_MIDFC_FLASH=1 swaps the
+    parity-exact chunked MHA for the flash kernel (full attention — an
+    upgrade, not the reference semantics, so off by default).
+
+    vs_baseline: the reference publishes no MID-FC throughput, so the
+    denominator is FLOP-derived. The reference MHA uses d_k=d_v=256 PER
+    HEAD x 8 heads (`csa_models.py:147`): projections 256->2048 (~168 GF
+    fwd at B=4 incl. output proj), scores+AV 160 (chunk,head) pairs x
+    512 MF (~82 GF) => ~250 GF per MHA forward; 11 MHA calls/CSA step
+    (query SSA + K+1 pooling SSAs + [self]+K cross) x3 for fwd+bwd =
+    ~8 TF per B=4 step. V100 fp32 peak 15.7 TFLOPs => >= 0.5 s/step at
+    PERFECT efficiency, i.e. <= 8 shapes/s; with the reference's
+    20-iteration python chunk loop per MHA, ~5 shapes/s is a generous
+    estimate. We use 5.0. (Our 228 ms/step = ~70% of the v5e f32
+    roofline for the same 8 TF.)"""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/tmp/jaxcache"))
+    except Exception:
+        pass
+
+    from csn_tpu.midfc.training import MidfcConfig, MidfcRunner
+
+    B = int(os.environ.get("BENCH_MIDFC_B", "4"))
+    P, C, K = 10000, 256, 4
+    use_flash = os.environ.get("BENCH_MIDFC_FLASH", "0") == "1"
+    cfg = MidfcConfig(num_classes=39, n_heads=8, K=K, batch_size=B,
+                      chunk_size=None if use_flash else 500,
+                      use_flash=use_flash, num_points=P, seed=0,
+                      compute_dtype=os.environ.get(
+                          "BENCH_MIDFC_DTYPE",
+                          MidfcConfig.compute_dtype))  # shipped default
+    runner = MidfcRunner(cfg, "csa")
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(B, P, C)).astype(np.float32))
+    neighbors = jnp.asarray(
+        rng.normal(size=(B, K + 1, P, C)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 39, size=(B, P)).astype(np.int32))
+    runner.initialize(feats, neighbors)
+
+    t0 = time.time()
+    rng_key = jax.random.PRNGKey(0)
+
+    def step():
+        nonlocal rng_key
+        rng_key, sub = jax.random.split(rng_key)
+        loss, grads = runner._grad(runner.params, feats, labels, neighbors,
+                                   sub)
+        runner.params, runner.opt_state = runner._apply(
+            runner.params, runner.opt_state, grads)
+        return loss
+
+    loss = step()
+    float(np.asarray(loss))
+    print(f"[bench-midfc] compile+first: {time.time() - t0:.1f}s "
+          f"loss={float(np.asarray(loss)):.3f}", file=sys.stderr)
+    # params evolve every step, so the chain is inherently un-memoizable
+    # through the relay; fetch one loss at the end to force it.
+    for w in range(2):
+        t0 = time.time()
+        loss = step()
+        float(np.asarray(loss))
+        print(f"[bench-midfc] warmup step {w}: {time.time() - t0:.2f}s",
+              file=sys.stderr)
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    t0 = time.time()
+    for _ in range(iters):
+        loss = step()
+    float(np.asarray(loss))
+    dt = (time.time() - t0) / iters
+    throughput = B / dt
+    print(f"[bench-midfc] steady-state: {dt * 1e3:.1f} ms/step "
+          f"({throughput:.2f} shapes/sec; CSA n_heads=8 K={K} "
+          f"{'flash-full' if use_flash else 'chunked-500'})",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "midfc_csa_train_throughput",
+        "value": round(throughput, 3),
+        "unit": "shapes/sec",
+        "vs_baseline": round(throughput / 5.0, 3),
+    }))
+
+
 def _with_interp_fallback(fn):
     """Run a bench mode; if it dies with the windowed-interp kernels ON,
     retry once with CSN_INTERP_WIN=0 (XLA gather/scatter readout). The
@@ -431,5 +524,8 @@ if __name__ == "__main__":
     elif (os.environ.get("BENCH_MODE", "") == "infer"
           or "--infer" in sys.argv):
         _with_interp_fallback(run_infer)
+    elif (os.environ.get("BENCH_MODE", "") == "midfc"
+          or "--midfc" in sys.argv):
+        run_midfc()
     else:
         _with_interp_fallback(main)

@@ -166,15 +166,7 @@ class Config:
         """Activation dtype for the backbone ('float32' | 'bfloat16';
         'auto' = bfloat16 on TPU). Params, optimizer state, BN statistics,
         layer/batch-norm math, pooled descriptors and the loss stay f32."""
-        v = str(self.compute_dtype).lower()
-        if v == "auto":
-            import jax
-
-            # bf16 default is validated on TPU only (real-trainer A/B,
-            # STATUS.md); unvalidated backends (GPU, ...) keep f32.
-            return "bfloat16" if jax.default_backend() == "tpu" \
-                else "float32"
-        return v
+        return resolve_compute_dtype(self.compute_dtype)
 
     def normalized(self) -> "Config":
         """Apply the derived-flag expansion of `get_config()`
@@ -242,3 +234,15 @@ def get_config(argv=None) -> Config:
                     merged[k] = v
             cfg = Config.from_dict(merged)
     return cfg.normalized()
+
+def resolve_compute_dtype(v: str) -> str:
+    """'auto' -> bfloat16 on TPU, float32 elsewhere (bf16 defaults are
+    validated on TPU only — real-trainer A/Bs in STATUS.md; unvalidated
+    backends such as GPU keep f32). Shared by Config and the MID-FC
+    trainer config."""
+    v = str(v).lower()
+    if v == "auto":
+        import jax
+
+        return "bfloat16" if jax.default_backend() == "tpu" else "float32"
+    return v

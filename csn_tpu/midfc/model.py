@@ -78,6 +78,11 @@ class CrossShapeAt(nn.Module):
     chunk_size: Optional[int] = 500
     use_flash: bool = False
     bn_momentum: float = 0.1         # torch BatchNorm2d default
+    # activation dtype for the attention stack (the classifier head always
+    # computes in f32, mirroring the Mink branch's ADVICE-r2 rule). f32
+    # default keeps checkpoint-eval parity (get_csa_pred) exact; training
+    # can opt into bf16 (CSA chunked step 228 -> 100 ms at B=4 on v5e).
+    compute_dtype: str = "float32"
 
     def setup(self):
         # fc_1: 928 -> 256 conv1x1 (no bias) + BN + ReLU; only used when
@@ -140,19 +145,22 @@ class CrossShapeAt(nn.Module):
     def __call__(self, x, neighbors=None, train: bool = False):
         """x: [B, P, C_in]; returns logits [B, P, num_classes]."""
         x = self._maybe_fc(x, train)
+        cdt = jnp.dtype(self.compute_dtype)
+        x = x.astype(cdt)
         if self.attention_type == "ssa":
             feats = self.get_ssa_feats(x, train)
         elif self.attention_type == "csa":
             assert neighbors is not None
-            feats = self.get_csa_feats(x, neighbors, train)
+            feats = self.get_csa_feats(x, neighbors.astype(cdt), train)
         else:
             raise AttributeError(f"{self.attention_type} not supported")
-        return self.logit(feats)
+        return self.logit(feats.astype(jnp.float32))
 
 
 def get_model(attention_type: str, num_classes: int, n_heads: int,
               K: Optional[int] = None, chunk_size: Optional[int] = 500,
-              use_flash: bool = False, d_model: int = 256) -> CrossShapeAt:
+              use_flash: bool = False, d_model: int = 256,
+              compute_dtype: str = "float32") -> CrossShapeAt:
     """`csa_models.py:426-432` factory (after_fc=True, d_model=256; the
     reference also uses d_k=d_v=256 == d_model regardless of n_heads,
     `csa_models.py:147`)."""
@@ -161,11 +169,13 @@ def get_model(attention_type: str, num_classes: int, n_heads: int,
                             d_k=d_model, d_v=d_model,
                             n_heads=n_heads, attention_type="ssa",
                             after_fc=True, chunk_size=chunk_size,
-                            use_flash=use_flash)
+                            use_flash=use_flash,
+                            compute_dtype=compute_dtype)
     if attention_type == "csa":
         return CrossShapeAt(num_classes=num_classes, d_model=d_model,
                             d_k=d_model, d_v=d_model,
                             n_heads=n_heads, K=K, attention_type="csa",
                             after_fc=True, chunk_size=chunk_size,
-                            use_flash=use_flash)
+                            use_flash=use_flash,
+                            compute_dtype=compute_dtype)
     raise AttributeError(f"{attention_type} not supported")

@@ -61,6 +61,16 @@ class MidfcConfig:
     use_flash: bool = False
     num_points: int = 10000
     seed: int = 0
+    # activation dtype of the attention stack (the logit head always
+    # computes f32). f32 DEFAULT is a measured choice, not caution: bf16
+    # is 15% SLOWER for this head on v5e (CSA step 228 -> 264 ms at B=4,
+    # bench BENCH_MIDFC_DTYPE A/B 2026-08-18 — the d_k=256-per-head
+    # geometry runs near the MXU f32 roofline and the cast/convert
+    # overhead outweighs the bf16 matmul rate). Learning check:
+    # scripts/learning_check.py --task midfc (both dtypes converge
+    # identically to 4dp). get_csa_pred pins float32 for checkpoint-eval
+    # parity independently of this default.
+    compute_dtype: str = "float32"
 
 
 def _save(params, path):
@@ -85,9 +95,13 @@ class MidfcRunner:
     def __init__(self, cfg: MidfcConfig, attention_type: str):
         self.cfg = cfg
         self.attention_type = attention_type
+        from csn_tpu.config import resolve_compute_dtype
+
         self.model = get_model(attention_type, cfg.num_classes, cfg.n_heads,
                                K=cfg.K, chunk_size=cfg.chunk_size,
-                               use_flash=cfg.use_flash, d_model=cfg.d_model)
+                               use_flash=cfg.use_flash, d_model=cfg.d_model,
+                               compute_dtype=resolve_compute_dtype(
+                                   cfg.compute_dtype))
         self.optimizer = make_optimizer(
             optimizer="Adam", lr=cfg.lr, adam_beta1=0.5, adam_beta2=0.999,
             weight_decay=cfg.weight_decay)

@@ -371,3 +371,28 @@ def test_run_training_pred_mode(tmp_path):
     assert os.path.exists(summary)
     # the per-category CSV of get_csa_pred is written inside the cat dir too
     assert os.path.exists(os.path.join(cat_dir, "part_IoU_summaries.csv"))
+
+
+def test_compute_dtype_plumbing():
+    """compute_dtype reaches the attention stack (bf16 output differs from
+    f32), logits stay f32 either way, and the shipped training default is
+    the measured-fastest float32 (bf16 A/B in MidfcConfig docstring)."""
+    import jax
+    import jax.numpy as jnp
+
+    from csn_tpu.midfc.model import get_model
+    from csn_tpu.midfc.training import MidfcConfig
+
+    assert MidfcConfig.compute_dtype == "float32"
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 1000, 32)).astype(np.float32))
+    outs = {}
+    for dt in ("float32", "bfloat16"):
+        m = get_model("ssa", 5, n_heads=2, chunk_size=500, d_model=32,
+                      compute_dtype=dt)
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        out = m.apply(v, x, train=False)
+        assert out.dtype == jnp.float32
+        outs[dt] = np.asarray(out)
+    diff = np.abs(outs["float32"] - outs["bfloat16"]).max()
+    assert 0 < diff < 0.1  # bf16 rounding, not a different computation
