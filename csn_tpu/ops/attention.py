@@ -43,11 +43,26 @@ def scaled_dot_product_attention(
         scores = jnp.where(kv_mask[:, None, None, :], scores, NEG_INF)
     attn = jax.nn.softmax(scores, axis=-1)
     if dropout_rate > 0.0 and dropout_rng is not None:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, attn.shape)
+        keep = fast_bernoulli(dropout_rng, 1.0 - dropout_rate, attn.shape)
         attn = jnp.where(keep, attn / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
     return out.astype(v.dtype)
+
+
+def fast_bernoulli(rng, keep_prob: float, shape):
+    """Bernoulli(keep_prob) mask via 16-bit random bits + integer compare.
+
+    `jax.random.bernoulli`'s f32-uniform path is pathologically slow on this
+    TPU stack: 155 ms vs 0.5 ms for one [80, 8, 500, 500] mask (v5e probe
+    2026-08-18) — 30% of the whole MID-FC CSA train step was mask
+    generation. The 16-bit threshold quantizes keep_prob by < 1.6e-5
+    (0.9 -> 0.899994), immaterial for dropout regularization (the masks are
+    different random bits than bernoulli's, not a bit-compatible drop-in —
+    fine: no surface promises a particular dropout stream)."""
+    t = int(round(float(keep_prob) * 65536.0))
+    t = max(0, min(t, 65535))
+    return jax.random.bits(rng, shape, jnp.uint16) < jnp.uint16(t)
 
 
 def online_attention(
@@ -106,7 +121,7 @@ def online_attention(
         denom = denom * scale + e.sum(axis=-1)
         if use_drop:
             rng_b = jax.random.fold_in(dropout_rng, i_b)
-            dmask = jax.random.bernoulli(rng_b, keep, e.shape)
+            dmask = fast_bernoulli(rng_b, keep, e.shape)
             e_num = jnp.where(dmask, e / keep, 0.0)
         else:
             e_num = e
@@ -215,7 +230,12 @@ class MultiHeadAttention(nn.Module):
 
         out = out.transpose(0, 2, 1, 3).reshape(b, lq, self.n_head * self.d_v)
         out = fc(out)
-        out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        if train and self.dropout > 0.0:
+            # manual dropout: nn.Dropout routes through the slow bernoulli
+            km = fast_bernoulli(self.make_rng("dropout"),
+                                1.0 - self.dropout, out.shape)
+            out = jnp.where(km, out / (1.0 - self.dropout),
+                            jnp.zeros_like(out))
         out = out + residual
         out = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)(out)
         return out.astype(adt)
