@@ -440,9 +440,13 @@ def run_midfc():
 
     B = int(os.environ.get("BENCH_MIDFC_B", "4"))
     P, C, K = 10000, 256, 4
-    use_flash = os.environ.get("BENCH_MIDFC_FLASH", "0") == "1"
+    # BENCH_MIDFC_FLASH: '' (shipped default: flash-on-chunks on TPU),
+    # '0' dense, '1' flash, 'full' flash + chunk_size=None (full attention
+    # over 10000 pts — a semantics upgrade, far more FLOPs, not a perf knob)
+    fl = os.environ.get("BENCH_MIDFC_FLASH", "")
+    use_flash = {"": "auto", "0": False, "1": True, "full": True}[fl]
     cfg = MidfcConfig(num_classes=39, n_heads=8, K=K, batch_size=B,
-                      chunk_size=None if use_flash else 500,
+                      chunk_size=None if fl == "full" else 500,
                       use_flash=use_flash, num_points=P, seed=0,
                       compute_dtype=os.environ.get(
                           "BENCH_MIDFC_DTYPE",
@@ -488,7 +492,7 @@ def run_midfc():
     throughput = B / dt
     print(f"[bench-midfc] steady-state: {dt * 1e3:.1f} ms/step "
           f"({throughput:.2f} shapes/sec; CSA n_heads=8 K={K} "
-          f"{'flash-full' if use_flash else 'chunked-500'})",
+          f"{'full' if fl == 'full' else 'chunked-500'})",
           file=sys.stderr)
     print(json.dumps({
         "metric": "midfc_csa_train_throughput",

@@ -52,9 +52,10 @@ def main(argv=None):
         num_classes=args.num_classes, n_heads=args.n_heads, K=args.K,
         batch_size=args.batch_size, chunk_size=args.chunk_size,
         d_model=args.d_model, num_points=args.num_points,
-        # pinned f32: this surface reproduces the reference checkpoint's
-        # numbers exactly (PARITY.md); bf16 is a training-only default
-        compute_dtype="float32")
+        # pinned f32 + dense attention: this surface reproduces the
+        # reference checkpoint's numbers exactly (PARITY.md); bf16/flash
+        # are training-only defaults
+        compute_dtype="float32", use_flash=False)
     runner = MidfcRunner(cfg, "csa")
 
     train_root = os.path.join(args.data_root, "train", args.partname)

@@ -396,3 +396,21 @@ def test_compute_dtype_plumbing():
         outs[dt] = np.asarray(out)
     diff = np.abs(outs["float32"] - outs["bfloat16"]).max()
     assert 0 < diff < 0.1  # bf16 rounding, not a different computation
+
+
+def test_use_flash_auto_resolution():
+    """MidfcConfig.use_flash='auto' resolves per backend (flash kernels are
+    TPU-only); get_csa_pred pins dense+f32 for checkpoint parity."""
+    import jax
+
+    from csn_tpu.midfc.training import MidfcConfig, MidfcRunner
+
+    assert MidfcConfig.use_flash == "auto"
+    r = MidfcRunner(MidfcConfig(num_classes=5, n_heads=2, K=1, batch_size=1,
+                                num_points=1000, d_model=32), "csa")
+    expect = jax.default_backend() == "tpu"
+    assert r.model.use_flash is expect
+    r2 = MidfcRunner(MidfcConfig(num_classes=5, n_heads=2, K=1, batch_size=1,
+                                 num_points=1000, d_model=32,
+                                 use_flash=False), "csa")
+    assert r2.model.use_flash is False
