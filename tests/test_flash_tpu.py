@@ -52,6 +52,28 @@ def test_flash_fwd_bwd_exact_on_tpu():
     assert np.abs(gf - gr).max() < 0.03 * np.abs(gr).max()
 
 
+def test_flash_midfc_geometry_on_tpu():
+    """Flash parity at the MID-FC chunked geometry now shipped as the TPU
+    training default (csn_tpu/midfc: [B*20 chunks, 8 heads, 500, d_k=256
+    PER HEAD], no kv mask): forward + q-grad vs the dense reference."""
+    rng = np.random.default_rng(1)
+    B, H, L, D = 20, 8, 500, 256
+    q = jnp.asarray(rng.normal(size=(B, H, L, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, L, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, L, D)).astype(np.float32))
+    t = float(D) ** 0.5
+
+    ref = np.asarray(scaled_dot_product_attention(q, k, v, temperature=t))
+    out = np.asarray(flash_attention(q, k, v, temperature=t))
+    assert np.abs(out - ref).max() < 0.01 * np.abs(ref).max()
+
+    gr = np.asarray(jax.grad(lambda q: jnp.sum(scaled_dot_product_attention(
+        q, k, v, temperature=t) ** 2))(q))
+    gf = np.asarray(jax.grad(lambda q: jnp.sum(flash_attention(
+        q, k, v, temperature=t) ** 2))(q))
+    assert np.abs(gf - gr).max() < 0.03 * np.abs(gr).max()
+
+
 def test_flash_qmask_block_skip_matches_reference():
     """Ragged q/kv masks (whole blocks fully padded => skipped in-kernel):
     outputs and all three grads must still match the dense reference on the
