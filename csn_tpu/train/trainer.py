@@ -579,7 +579,7 @@ class BaseTrainer:
                 "opt_state": self.opt_state}
 
     def _host_state(self) -> Dict:
-        return {
+        st = {
             "iteration": self.curr_iter,
             "epoch": self.epoch + 1,
             "arch": self.config.model,
@@ -592,6 +592,14 @@ class BaseTrainer:
             "best_val_acc": self.best_val_acc,
             "best_val_acc_iter": self.best_val_acc_iter,
         }
+        # host-side ReduceLROnPlateau state (current lr, best metric,
+        # cooldown) — without it a resumed run silently restarts at the
+        # config lr (the reference checkpoints its scheduler state_dict,
+        # `lib/utils.py:11-61`, and restores it, `trainer_csn.py:348-387`;
+        # caught by a TPU soak resume: lr 0.025 -> 0.05 on restart)
+        if hasattr(self, "plateau"):
+            st["plateau"] = self.plateau.state_dict()
+        return st
 
     def save_checkpoint(self, postfix: Optional[str] = None):
         save_checkpoint(
@@ -640,6 +648,8 @@ class BaseTrainer:
             if k in host:
                 setattr(self, k, host[k])
                 setattr(self, k + "_iter", host.get(k + "_iter", 0))
+        if "plateau" in host and hasattr(self, "plateau"):
+            self.plateau.load_state_dict(dict(host["plateau"]))
         logging.info("=> Loaded checkpoint '%s' (epoch %d)", path,
                      host["epoch"])
         return host

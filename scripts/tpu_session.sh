@@ -50,6 +50,7 @@ for s in $STAGES; do
       run_stage 1800 bench_infer env BENCH_MODE=infer python bench.py
       run_stage 1800 bench_cached env BENCH_MODE=infer BENCH_CACHED=1 \
         python bench.py
+      run_stage 1800 bench_midfc env BENCH_MODE=midfc python bench.py
       ;;
     trace)
       run_stage 3600 bench_trace env BENCH_TRACE=/tmp/trace python bench.py

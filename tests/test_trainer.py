@@ -47,15 +47,32 @@ def test_csn_train_eval_checkpoint_resume(synth_root, tmp_path):
     assert os.path.exists(os.path.join(cfg.log_dir, "weights.msgpack"))
     assert os.path.exists(os.path.join(cfg.log_dir, "config.json"))
 
+    # simulate a mid-run plateau LR drop, then checkpoint: resume must
+    # restore the halved lr + scheduler bests (the reference saves its
+    # scheduler state_dict; caught live by a TPU soak resume going
+    # 0.025 -> 0.05)
+    assert hasattr(trainer, "plateau")
+    trainer.plateau.lr *= 0.5
+    trainer.plateau.best = 0.123
+    trainer.plateau.cooldown_counter = 7
+    trainer.save_checkpoint()
+    dropped_lr = trainer.plateau.lr
+
     # resume: continues from saved state, neighbors restored
     cfg2 = make_config(synth_root, str(tmp_path), max_epoch=3,
                        resume=cfg.log_dir)
     trainer2 = build_trainer(cfg2, phases=("train", "val"))
     trainer2.initialize()
+    from csn_tpu.train.optim import ReduceLROnPlateau
+    trainer2.plateau = ReduceLROnPlateau(lr=cfg2.lr, factor=0.5)
     host = trainer2.resume()
     assert host["epoch"] >= 2
     assert "csn_data" in host
     assert len(trainer2.train_dataset.neighbors) == 6
+    assert trainer2.plateau.lr == pytest.approx(dropped_lr)
+    assert trainer2.plateau.best == pytest.approx(0.123)
+    assert trainer2.plateau.cooldown_counter == 7
+    assert trainer2._current_lr() == pytest.approx(dropped_lr)
 
     # cosine-similarity graph rebuild path
     trainer2.construct_shape_graph(recalculate=True)
