@@ -27,6 +27,7 @@ def pyramid_spec_for_model(
     use_windows: bool = False,
     dense_stem_grid: Optional[int] = 0,
     sort_points: Optional[bool] = None,
+    batch_sizes: Optional[Sequence[int]] = None,
 ) -> PyramidSpec:
     """Derive the static pyramid signature a model needs.
 
@@ -43,6 +44,23 @@ def pyramid_spec_for_model(
     if level_caps is None:
         base = level0_cap if level0_cap is not None else num_points
         level_caps = default_level_caps(base, nl, shrink=shrink)
+        if use_windows and batch_sizes:
+            # Windowed-conv worklists only survive batch concatenation (the
+            # combined (K+1)B CSA pass) when every batch's B*cap is a
+            # multiple of window_conv.TILE=256; default 32-rounded caps
+            # guarantee that only for B % 8 == 0. Round each derived cap up
+            # so EVERY batch size used by this program stays aligned — the
+            # inflation is a few percent (e.g. B=4: 864 -> 896), far
+            # cheaper than the silent XLA-gather fallback the drop causes.
+            # (User-supplied level_caps are respected as-is; the concat
+            # warning still fires if they misalign.)
+            from math import gcd
+
+            mult = 32
+            for b in batch_sizes:
+                need = 256 // gcd(256, int(b))
+                mult = mult * need // gcd(mult, need)
+            level_caps = tuple(-(-c // mult) * mult for c in level_caps)
     if dense_stem_grid is None:
         g = int(np.ceil(2.6 / voxel_size)) + 2
         dense_stem_grid = g if g ** 3 <= 320_000 and g <= 254 else 0

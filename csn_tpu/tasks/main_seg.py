@@ -29,7 +29,9 @@ def build_trainer(config: Config, phases=("train", "val")) -> SegTrainer:
         conv1_kernel_size=config.conv1_kernel_size,
         level0_cap=config.level0_cap or None,
         qmode=config.qmode(), shrink=config.level_shrink,
-        use_windows=config.resolved_use_windows())
+        use_windows=config.resolved_use_windows(),
+        batch_sizes=(config.batch_size, config.val_batch_size,
+                      config.test_batch_size))
     train_ds = make_partnet_dataset(
         config.partnet_path, config.partnet_category, phases[0],
         distort=config.distort_partnet, normalize=config.normalize_coords,
