@@ -176,6 +176,8 @@ def encode_kmap16_native(kmap: np.ndarray, n_in: int, wire_tile: int,
     lib = _load()
     if lib is None or not hasattr(lib, "csn_encode_kmap16"):
         return None
+    if sent16 != 32767:  # the C ABI hardcodes the sentinel; a different
+        return None      # constant must use the numpy encoder
     kmap = np.ascontiguousarray(kmap, dtype=np.int32)
     k, n_out = kmap.shape
     out = np.empty((k, n_out), dtype=np.int16)

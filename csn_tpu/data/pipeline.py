@@ -46,20 +46,25 @@ def pyramid_spec_for_model(
         level_caps = default_level_caps(base, nl, shrink=shrink)
         if use_windows and batch_sizes:
             # Windowed-conv worklists only survive batch concatenation (the
-            # combined (K+1)B CSA pass) when every batch's B*cap is a
-            # multiple of window_conv.TILE=256; default 32-rounded caps
-            # guarantee that only for B % 8 == 0. Round each derived cap up
-            # so EVERY batch size used by this program stays aligned — the
-            # inflation is a few percent (e.g. B=4: 864 -> 896), far
-            # cheaper than the silent XLA-gather fallback the drop causes.
-            # (User-supplied level_caps are respected as-is; the concat
-            # warning still fires if they misalign.)
+            # combined (K+1)B CSA pass) when a batch's B*cap is a multiple
+            # of window_conv.TILE=256; default 32-rounded caps guarantee
+            # that only for B % 8 == 0. Round the derived caps up so every
+            # batch size NEEDING AT MOST a 64-multiple (B % 4 == 0) stays
+            # aligned — a few percent of rows (e.g. B=4: 864 -> 896), far
+            # cheaper than losing the windowed kernels. Batch sizes of
+            # 1/2 (the shipped val/test defaults) would force 256-multiples
+            # and inflate deep caps 33-300%, so they keep the old behavior:
+            # the concat path logs the drop and falls back to the XLA
+            # gather conv for that phase; use a batch size divisible by 4 to
+            # keep windowed eval. (User-supplied level_caps are respected
+            # as-is.)
             from math import gcd
 
             mult = 32
             for b in batch_sizes:
                 need = 256 // gcd(256, int(b))
-                mult = mult * need // gcd(mult, need)
+                if need <= 64:
+                    mult = mult * need // gcd(mult, need)
             level_caps = tuple(-(-c // mult) * mult for c in level_caps)
     if dense_stem_grid is None:
         g = int(np.ceil(2.6 / voxel_size)) + 2

@@ -113,7 +113,13 @@ class CrossShapeAt(nn.Module):
         return jax.nn.relu(y)
 
     def get_ssa_feats(self, x, train: bool = False):
-        """`csa_models.py:204-207`. x: [B, P, d_model] -> [B, P, d_model]."""
+        """`csa_models.py:204-207`. x: [B, P, d_model] -> [B, P, d_model].
+
+        Casts to compute_dtype here (not only in __call__) so direct
+        `method=get_ssa_feats` surfaces (knn-graph feature extraction) run
+        the same numerics as the rest of the model; the astype is a no-op
+        when __call__ already cast."""
+        x = x.astype(jnp.dtype(self.compute_dtype))
         return self.attention(x, x, x, train=train)
 
     def get_csa_feats(self, x, neighbors, train: bool = False):

@@ -63,7 +63,13 @@ class MidfcConfig:
     # (online softmax is exact; dropout moves in-kernel) and measured
     # 226 -> 192 ms/step on the CSA bench protocol — the win is not
     # materializing the [80,8,500,500] attn tensor around the dropout.
-    # get_csa_pred pins False (+f32) for checkpoint-eval parity.
+    # SCOPE (intentional): 'auto' covers every training-INTERNAL surface —
+    # grad steps, the knn-graph feature extraction/rebuild (save_knn and
+    # the two-phase CSA update), and in-training validation — so graphs
+    # are built and consumed by the same numerics (flash uses bf16 MXU
+    # operands; near-tie neighbor ranks can differ from dense by ~1e-3).
+    # The checkpoint-parity surface (get_csa_pred / --attention_type
+    # pred) pins False (+f32).
     use_flash: object = "auto"       # 'auto' | True | False
     num_points: int = 10000
     seed: int = 0

@@ -61,7 +61,9 @@ def fast_bernoulli(rng, keep_prob: float, shape):
     different random bits than bernoulli's, not a bit-compatible drop-in —
     fine: no surface promises a particular dropout stream)."""
     t = int(round(float(keep_prob) * 65536.0))
-    t = max(0, min(t, 65535))
+    if t >= 65536:  # keep everything — the uint16 compare cannot express
+        return jnp.ones(shape, dtype=bool)  # P(keep)=1 (65535/65536 max)
+    t = max(0, t)
     return jax.random.bits(rng, shape, jnp.uint16) < jnp.uint16(t)
 
 

@@ -92,11 +92,13 @@ def main():
 
 
 def midfc_check(args):
-    """MID-FC CSA learning evidence at the bf16 training default: drive the
-    REAL MidfcRunner step (chunked-500 MHA, Adam(0.5,0.999), NaN zeroing)
-    on a learnable synthetic task — labels correlated with the features
-    through a fixed random projection — and assert the loss falls. Run with
-    --dtype float32 for the A/B trajectory."""
+    """MID-FC CSA learning evidence: drive the REAL MidfcRunner step
+    (flash-on-chunks on TPU, Adam(0.5,0.999), NaN zeroing) on a learnable
+    synthetic task — labels correlated with the features through a fixed
+    random projection — and assert the loss falls. The SHIPPED training
+    default is float32 (bf16 measured slower for this head, see
+    MidfcConfig); --dtype without a value follows that default, and
+    --dtype bfloat16 gives the A/B trajectory."""
     import jax
     import numpy as np
     import jax.numpy as jnp
@@ -104,8 +106,11 @@ def midfc_check(args):
     from csn_tpu.midfc.training import MidfcConfig, MidfcRunner
 
     B, P, C, K = 4, 10000, 256, 4
+    # 'auto' here means "the shipped MidfcConfig default" (f32 — measured
+    # faster than bf16 for this head), NOT Config's auto->bf16 rule
+    dt = MidfcConfig.compute_dtype if args.dtype == "auto" else args.dtype
     cfg = MidfcConfig(num_classes=15, n_heads=8, K=K, batch_size=B,
-                      num_points=P, seed=0, compute_dtype=args.dtype)
+                      num_points=P, seed=0, compute_dtype=dt)
     runner = MidfcRunner(cfg, "csa")
     rng = np.random.default_rng(0)
     feats_np = rng.normal(size=(B, P, C)).astype(np.float32)
@@ -133,7 +138,7 @@ def midfc_check(args):
             if first is None:
                 first = lv
             last = lv
-    print(f"RESULT task=midfc dtype={args.dtype} "
+    print(f"RESULT task=midfc dtype={dt} "
           f"first_loss={first:.4f} last_loss={last:.4f}")
     assert last < 0.8 * first, (
         f"train loss did not fall substantially ({first:.3f} -> {last:.3f})")
