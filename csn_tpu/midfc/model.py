@@ -78,11 +78,19 @@ class CrossShapeAt(nn.Module):
     chunk_size: Optional[int] = 500
     use_flash: bool = False
     bn_momentum: float = 0.1         # torch BatchNorm2d default
+    dropout: float = 0.1             # attention + output-proj dropout rate
     # activation dtype for the attention stack (the classifier head always
     # computes in f32, mirroring the Mink branch's ADVICE-r2 rule). f32
     # default keeps checkpoint-eval parity (get_csa_pred) exact; training
     # can opt into bf16 (CSA chunked step 228 -> 100 ms at B=4 on v5e).
     compute_dtype: str = "float32"
+    # When set (e.g. 'seq'), the module is running inside a shard_map whose
+    # named axis shards the POINT dimension in equal slices: the chunked
+    # (block-diagonal) attention is then embarrassingly point-parallel, and
+    # only the mean-pooled compatibility descriptors need a collective —
+    # pmean of equal-size local means == the global mean exactly
+    # (parallel/midfc.py). None = ordinary single-shard execution.
+    seq_axis: Optional[str] = None
 
     def setup(self):
         # fc_1: 928 -> 256 conv1x1 (no bias) + BN + ReLU; only used when
@@ -96,7 +104,7 @@ class CrossShapeAt(nn.Module):
                               kernel_init=nn.initializers.xavier_uniform())
         self.attention = ChunkedMHA(
             n_head=self.n_heads, d_model=self.d_model, d_k=self.d_k,
-            d_v=self.d_v, chunk_size=self.chunk_size,
+            d_v=self.d_v, dropout=self.dropout, chunk_size=self.chunk_size,
             use_flash=self.use_flash)
         if "csa" in self.attention_type:
             # the reference hard-codes 256 == d_model (`csa_models.py:160-161`)
@@ -106,6 +114,10 @@ class CrossShapeAt(nn.Module):
     def _maybe_fc(self, x, train: bool):
         if self.after_fc:
             return x
+        assert self.seq_axis is None, (
+            "seq_axis sharding is only supported with after_fc=True (the "
+            "fc_1 BatchNorm would need cross-shard statistics; every "
+            "shipped MID-FC config is after_fc=True)")
         b, p, _ = x.shape
         mask = jnp.ones((b, p), dtype=bool)
         y = self.fc_1(x)
@@ -122,16 +134,24 @@ class CrossShapeAt(nn.Module):
         x = x.astype(jnp.dtype(self.compute_dtype))
         return self.attention(x, x, x, train=train)
 
+    def _pool(self, ssa):
+        """Mean over points; a pmean over `seq_axis` completes the global
+        mean when the point axis is sharded (equal-size shards)."""
+        pooled = ssa.mean(axis=1)
+        if self.seq_axis is not None:
+            pooled = jax.lax.pmean(pooled, self.seq_axis)
+        return pooled
+
     def get_csa_feats(self, x, neighbors, train: bool = False):
         """`csa_models.py:209-242`. neighbors: [B, K+1, P, d] with self at
         index 0 (only indices 1..K are attended; index 0's slot mirrors the
         reference's convention)."""
         kplus1 = neighbors.shape[1]
-        y_q = self.get_ssa_feats(x, train).mean(axis=1)           # [B, d]
+        y_q = self._pool(self.get_ssa_feats(x, train))            # [B, d]
         pools = [y_q]
         for k in range(1, kplus1):
             n_ssa = self.get_ssa_feats(neighbors[:, k], train)
-            pools.append(n_ssa.mean(axis=1))
+            pools.append(self._pool(n_ssa))
         u_q = self.compatibility_q(y_q)
         u_q = u_q / jnp.maximum(
             jnp.linalg.norm(u_q, axis=-1, keepdims=True), 1e-12)
@@ -166,7 +186,8 @@ class CrossShapeAt(nn.Module):
 def get_model(attention_type: str, num_classes: int, n_heads: int,
               K: Optional[int] = None, chunk_size: Optional[int] = 500,
               use_flash: bool = False, d_model: int = 256,
-              compute_dtype: str = "float32") -> CrossShapeAt:
+              compute_dtype: str = "float32", dropout: float = 0.1,
+              seq_axis: Optional[str] = None) -> CrossShapeAt:
     """`csa_models.py:426-432` factory (after_fc=True, d_model=256; the
     reference also uses d_k=d_v=256 == d_model regardless of n_heads,
     `csa_models.py:147`)."""
@@ -175,13 +196,13 @@ def get_model(attention_type: str, num_classes: int, n_heads: int,
                             d_k=d_model, d_v=d_model,
                             n_heads=n_heads, attention_type="ssa",
                             after_fc=True, chunk_size=chunk_size,
-                            use_flash=use_flash,
-                            compute_dtype=compute_dtype)
+                            use_flash=use_flash, dropout=dropout,
+                            compute_dtype=compute_dtype, seq_axis=seq_axis)
     if attention_type == "csa":
         return CrossShapeAt(num_classes=num_classes, d_model=d_model,
                             d_k=d_model, d_v=d_model,
                             n_heads=n_heads, K=K, attention_type="csa",
                             after_fc=True, chunk_size=chunk_size,
-                            use_flash=use_flash,
-                            compute_dtype=compute_dtype)
+                            use_flash=use_flash, dropout=dropout,
+                            compute_dtype=compute_dtype, seq_axis=seq_axis)
     raise AttributeError(f"{attention_type} not supported")

@@ -64,6 +64,12 @@ def main(argv=None):
     ap.add_argument("--chunk_size", type=int, default=500)
     ap.add_argument("--d_model", type=int, default=256)
     ap.add_argument("--num_points", type=int, default=10000)
+    ap.add_argument("--data_parallel", type=int, default=1,
+                    help="shard the batch over this many chips (psum grads)")
+    ap.add_argument("--seq_parallel", type=int, default=1,
+                    help="shard the point axis over this many chips "
+                    "(block-diagonal chunked attention is point-parallel; "
+                    "the HBM lever for large batch sizes)")
     args = ap.parse_args(argv)
 
     at = args.attention_type
@@ -124,7 +130,9 @@ def main(argv=None):
             weight_decay=args.weight_decay,
             gradient_accumulation_steps=args.gradient_accumulation_steps,
             testing=args.testing, chunk_size=args.chunk_size,
-            d_model=args.d_model, num_points=args.num_points)
+            d_model=args.d_model, num_points=args.num_points,
+            data_parallel=args.data_parallel,
+            seq_parallel=args.seq_parallel)
 
         if at == "ssa":
             best, _ = train_ssa(cfg, FeaturesDataset(train_root,

@@ -73,6 +73,14 @@ class MidfcConfig:
     use_flash: object = "auto"       # 'auto' | True | False
     num_points: int = 10000
     seed: int = 0
+    # Multi-chip (parallel/midfc.py): 'data' shards the batch (psum grads),
+    # 'seq' shards the point axis (chunked attention is block-diagonal, so
+    # point shards are independent; pooled compatibility descriptors pmean).
+    # data_parallel * seq_parallel chips; batch_size % data_parallel == 0 and
+    # (num_points/seq_parallel) % chunk_size == 0. seq_parallel is the HBM
+    # lever: the B=8 protocol OOMs single-chip and fits at seq_parallel=2.
+    data_parallel: int = 1
+    seq_parallel: int = 1
     # activation dtype of the attention stack (the logit head always
     # computes f32). f32 DEFAULT is a measured choice, not caution: bf16
     # is 15% SLOWER for this head on v5e (CSA step 228 -> 264 ms at B=4,
@@ -127,10 +135,23 @@ class MidfcRunner:
         self.jax_rng = jax.random.PRNGKey(cfg.seed)
         self.lr = cfg.lr
 
-        self._grad = jax.jit(self._make_grad())
-        self._apply = jax.jit(self._make_apply())
-        self._eval = jax.jit(self._make_eval())
-        self._ssa_feats = jax.jit(self._make_ssa_feats())
+        n_par = cfg.data_parallel * cfg.seq_parallel
+        if n_par > 1:
+            from csn_tpu.parallel.midfc import make_midfc_mesh, \
+                make_midfc_steps
+
+            self.mesh = make_midfc_mesh(cfg.data_parallel, cfg.seq_parallel)
+            steps = make_midfc_steps(self.model, attention_type, self.mesh)
+            self._grad = steps.grad
+            self._eval = steps.eval
+            self._ssa_feats = steps.ssa_feats
+            self._apply = jax.jit(self._make_apply())
+        else:
+            self.mesh = None
+            self._grad = jax.jit(self._make_grad())
+            self._apply = jax.jit(self._make_apply())
+            self._eval = jax.jit(self._make_eval())
+            self._ssa_feats = jax.jit(self._make_ssa_feats())
 
     def _call_model(self, params, feats, neighbors, train, rng=None):
         kwargs = dict(train=train)

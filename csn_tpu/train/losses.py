@@ -31,13 +31,17 @@ def cross_entropy_ignore(
     return nll.sum() / n
 
 
-def cross_entropy_positive_labels(
+def cross_entropy_positive_sum(
     logits: jnp.ndarray,
     labels: jnp.ndarray,
     extra_mask: jnp.ndarray = None,
-) -> jnp.ndarray:
-    """MID-FC masked CE: only labels > 0 contribute
-    (`ssa_training.py:87-92`)."""
+):
+    """(sum of per-element NLL over labels > 0, contributing count).
+
+    The separable form of `cross_entropy_positive_labels` — a sharded step
+    psums both parts over the mesh and divides once, which reproduces the
+    single-device mean EXACTLY regardless of how valid labels distribute
+    across shards (per-shard means pmean'd would not)."""
     valid = labels > 0
     if extra_mask is not None:
         valid = valid & extra_mask
@@ -45,8 +49,18 @@ def cross_entropy_positive_labels(
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
     nll = jnp.where(valid, nll, 0.0)
-    n = jnp.maximum(valid.sum(), 1)
-    return nll.sum() / n
+    return nll.sum(), valid.sum()
+
+
+def cross_entropy_positive_labels(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    extra_mask: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """MID-FC masked CE: only labels > 0 contribute
+    (`ssa_training.py:87-92`)."""
+    s, n = cross_entropy_positive_sum(logits, labels, extra_mask)
+    return s / jnp.maximum(n, 1)
 
 
 def predict_nonzero(logits: jnp.ndarray) -> jnp.ndarray:
