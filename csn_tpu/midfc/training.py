@@ -94,8 +94,12 @@ class MidfcConfig:
 
 
 def _save(params, path):
-    with open(path, "wb") as f:
+    # temp + os.replace: a crash mid-write must not truncate the best-IoU
+    # checkpoint this path overwrites in place (train/checkpoint.py has the
+    # same rule)
+    with open(path + ".tmp", "wb") as f:
         f.write(serialization.to_bytes(params))
+    os.replace(path + ".tmp", path)
     logging.info("model saved to: %s!", path)
 
 
@@ -391,7 +395,10 @@ def train_csa(cfg: MidfcConfig, train_root: str, test_root: str,
     if ssa_params_path:
         # `utils.py:29-39`: copy the SSA-trained attention/logit weights into
         # the CSA model. The module trees share names, so merge directly.
-        ssa_runner = MidfcRunner(dataclasses.replace(cfg), "ssa")
+        # single-device template runner: only its param TREE is used (the
+        # mesh steps of the real runner are what train)
+        ssa_runner = MidfcRunner(dataclasses.replace(
+            cfg, data_parallel=1, seq_parallel=1), "ssa")
         ssa_runner.initialize(f0)
         ssa_params = load_params(ssa_runner.params, ssa_params_path)
         merged = dict(runner.params)

@@ -52,21 +52,44 @@ def save_checkpoint(
         it = host_state.get("iteration", 0)
         filename = f"checkpoint_{name}_iter_{it}.msgpack"
     path = os.path.join(log_dir, filename)
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(tree_state))
-    with open(path + ".json", "w") as f:
-        json.dump(_to_jsonable(host_state), f, indent=2)
+    # Atomic writes: overwrite=True rewrites the same path every epoch, so a
+    # crash/preemption mid-write would otherwise truncate the ONLY copy of
+    # the latest checkpoint in place (the reference has the same hazard via
+    # torch.save; see SURVEY.md §5.3 — no failure recovery upstream). Write
+    # to a temp sibling and os.replace (atomic on POSIX).
+    _atomic_write_bytes(path, serialization.to_bytes(tree_state))
+    _atomic_write_text(path + ".json",
+                       json.dumps(_to_jsonable(host_state), indent=2))
     if config is not None:
-        with open(os.path.join(log_dir, "config.json"), "w") as f:
-            json.dump(_to_jsonable(config), f, indent=4)
+        _atomic_write_text(os.path.join(log_dir, "config.json"),
+                           json.dumps(_to_jsonable(config), indent=4))
     if postfix is None and link_latest:
         link = os.path.join(log_dir, "weights.msgpack")
-        for l in (link, link + ".json"):
-            if os.path.islink(l) or os.path.exists(l):
-                os.remove(l)
-        os.symlink(filename, link)
-        os.symlink(filename + ".json", link + ".json")
+        _atomic_symlink(filename, link)
+        _atomic_symlink(filename + ".json", link + ".json")
     return path
+
+
+def _atomic_write_bytes(path: str, data: bytes):
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def _atomic_write_text(path: str, text: str):
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(text)
+    os.replace(tmp, path)
+
+
+def _atomic_symlink(target: str, link: str):
+    tmp = link + ".tmp"
+    if os.path.islink(tmp) or os.path.exists(tmp):
+        os.remove(tmp)
+    os.symlink(target, tmp)
+    os.replace(tmp, link)
 
 
 def load_checkpoint(path: str, tree_template: Dict[str, Any]):
