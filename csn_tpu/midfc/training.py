@@ -94,12 +94,11 @@ class MidfcConfig:
 
 
 def _save(params, path):
-    # temp + os.replace: a crash mid-write must not truncate the best-IoU
-    # checkpoint this path overwrites in place (train/checkpoint.py has the
-    # same rule)
-    with open(path + ".tmp", "wb") as f:
-        f.write(serialization.to_bytes(params))
-    os.replace(path + ".tmp", path)
+    # atomic: a crash mid-write must not truncate the best-IoU checkpoint
+    # this path overwrites in place
+    from csn_tpu.train.checkpoint import _atomic_write_bytes
+
+    _atomic_write_bytes(path, serialization.to_bytes(params))
     logging.info("model saved to: %s!", path)
 
 
@@ -139,6 +138,7 @@ class MidfcRunner:
         self.jax_rng = jax.random.PRNGKey(cfg.seed)
         self.lr = cfg.lr
 
+        self._apply = jax.jit(self._make_apply())
         n_par = cfg.data_parallel * cfg.seq_parallel
         if n_par > 1:
             from csn_tpu.parallel.midfc import make_midfc_mesh, \
@@ -149,11 +149,9 @@ class MidfcRunner:
             self._grad = steps.grad
             self._eval = steps.eval
             self._ssa_feats = steps.ssa_feats
-            self._apply = jax.jit(self._make_apply())
         else:
             self.mesh = None
             self._grad = jax.jit(self._make_grad())
-            self._apply = jax.jit(self._make_apply())
             self._eval = jax.jit(self._make_eval())
             self._ssa_feats = jax.jit(self._make_ssa_feats())
 

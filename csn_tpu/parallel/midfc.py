@@ -73,6 +73,15 @@ def _check_shapes(mesh: Mesh, feats, chunk_size: Optional[int]):
         raise ValueError(
             f"local points {p // n_seq} not divisible by chunk_size "
             f"{chunk_size}; pick n_seq so P/n_seq is a chunk multiple")
+    if chunk_size is None and n_seq > 1:
+        # ChunkedMHA with chunk_size=None would run FULL attention over
+        # only the local point shard — a silently different model (every
+        # point's context shrinks from P to P/n_seq). Point sharding is
+        # exact only because chunked attention is block-diagonal.
+        raise ValueError(
+            "seq_parallel > 1 requires chunked attention (chunk_size is "
+            "None = full attention, which point sharding cannot split "
+            "exactly); use data_parallel only, or set a chunk_size")
 
 
 def make_midfc_steps(model, attention_type: str, mesh: Mesh

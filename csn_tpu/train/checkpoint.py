@@ -74,6 +74,10 @@ def _atomic_write_bytes(path: str, data: bytes):
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)
+        f.flush()
+        os.fsync(f.fileno())  # data must hit disk BEFORE the rename does,
+        # or a machine crash can persist the rename over unwritten blocks
+        # (ext4 delayed allocation) — a zero-length "latest" checkpoint
     os.replace(tmp, path)
 
 
@@ -81,6 +85,8 @@ def _atomic_write_text(path: str, text: str):
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
 
 

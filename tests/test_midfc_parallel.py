@@ -122,6 +122,13 @@ def test_shape_guards():
     steps = make_midfc_steps(model, "ssa", mesh)
     with pytest.raises(ValueError, match="batch"):
         steps.ssa_feats(params, jnp.asarray(feats))
+    # chunk_size=None full attention cannot be point-sharded exactly
+    full_model = get_model("ssa", NCLS, n_heads=2, K=K, chunk_size=None,
+                           d_model=C, dropout=0.0)
+    mesh = make_midfc_mesh(2, 2)
+    steps = make_midfc_steps(full_model, "ssa", mesh)
+    with pytest.raises(ValueError, match="chunked attention"):
+        steps.ssa_feats(params, jnp.asarray(feats))
 
 
 def test_runner_parallel_trains_and_rebuilds(tmp_path):
