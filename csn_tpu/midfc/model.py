@@ -44,11 +44,13 @@ class ChunkedMHA(nn.Module):
     dropout: float = 0.1
     chunk_size: Optional[int] = 500
     use_flash: bool = False
+    ring_axis: Optional[str] = None   # full-attention point sharding
 
     def setup(self):
         self.mha = MultiHeadAttention(
             n_head=self.n_head, d_model=self.d_model, d_k=self.d_k,
-            d_v=self.d_v, dropout=self.dropout, use_flash=self.use_flash)
+            d_v=self.d_v, dropout=self.dropout, use_flash=self.use_flash,
+            ring_axis=self.ring_axis)
 
     def __call__(self, q, k, v, train: bool = False):
         if self.chunk_size is None:
@@ -102,10 +104,16 @@ class CrossShapeAt(nn.Module):
         # (`csa_models.py:151,177-180`).
         self.logit = nn.Dense(self.num_classes, use_bias=False,
                               kernel_init=nn.initializers.xavier_uniform())
+        # chunk_size=None (full attention, the TPU-friendly upgrade path)
+        # under point sharding routes through ring_attention — chunked
+        # attention is block-diagonal and needs no ring (shards are
+        # independent)
+        ring = self.seq_axis if (self.seq_axis is not None
+                                 and self.chunk_size is None) else None
         self.attention = ChunkedMHA(
             n_head=self.n_heads, d_model=self.d_model, d_k=self.d_k,
             d_v=self.d_v, dropout=self.dropout, chunk_size=self.chunk_size,
-            use_flash=self.use_flash)
+            use_flash=self.use_flash, ring_axis=ring)
         if "csa" in self.attention_type:
             # the reference hard-codes 256 == d_model (`csa_models.py:160-161`)
             self.compatibility_q = nn.Dense(self.d_model, use_bias=True)

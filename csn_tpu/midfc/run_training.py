@@ -39,6 +39,9 @@ SEG_NUM = [15, 9, 39, 11, 7, 4, 5, 10, 12, 10, 41, 6, 7, 24, 51, 11, 6]
 
 
 def main(argv=None):
+    from csn_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()  # virtual-mesh runs (--data_parallel/--seq_parallel)
     from csn_tpu.midfc.data import FeaturesDataset
     from csn_tpu.midfc.training import (
         MidfcConfig, MidfcRunner, load_params, save_knn_graphs, train_csa,
@@ -61,7 +64,10 @@ def main(argv=None):
     ap.add_argument("--start", type=int, default=0)
     ap.add_argument("--end", type=int, default=16)
     ap.add_argument("--testing", action="store_true")
-    ap.add_argument("--chunk_size", type=int, default=500)
+    ap.add_argument("--chunk_size", type=int, default=500,
+                    help="attention chunk (reference: 500); 0 = FULL "
+                    "attention over the point set (the TPU upgrade path; "
+                    "under --seq_parallel it runs ring_attention)")
     ap.add_argument("--d_model", type=int, default=256)
     ap.add_argument("--num_points", type=int, default=10000)
     ap.add_argument("--data_parallel", type=int, default=1,
@@ -71,6 +77,7 @@ def main(argv=None):
                     "(block-diagonal chunked attention is point-parallel; "
                     "the HBM lever for large batch sizes)")
     args = ap.parse_args(argv)
+    chunk_size = args.chunk_size if args.chunk_size > 0 else None
 
     at = args.attention_type
     if at == "ssa":
@@ -129,7 +136,7 @@ def main(argv=None):
             batch_size=args.batch_size, lr=args.lr,
             weight_decay=args.weight_decay,
             gradient_accumulation_steps=args.gradient_accumulation_steps,
-            testing=args.testing, chunk_size=args.chunk_size,
+            testing=args.testing, chunk_size=chunk_size,
             d_model=args.d_model, num_points=args.num_points,
             data_parallel=args.data_parallel,
             seq_parallel=args.seq_parallel)

@@ -143,6 +143,82 @@ def online_attention(
     return out.astype(v.dtype)
 
 
+def ring_attention(
+    q: jnp.ndarray,            # [B, H, Lq_local, Dk]  (this chip's queries)
+    k: jnp.ndarray,            # [B, H, Lk_local, Dk]  (this chip's K shard)
+    v: jnp.ndarray,            # [B, H, Lk_local, Dv]
+    kv_mask: Optional[jnp.ndarray],  # [B, Lk_local] bool, travels with K/V
+    axis: str,                 # mesh axis name sharding the point dimension
+    temperature: Optional[float] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
+) -> jnp.ndarray:
+    """Exact FULL attention over a point axis sharded across chips — the
+    sequence-parallel slot designed in SURVEY.md §5.7 ('shard the key/value
+    point axis across ICI neighbors, ring-style pass of K/V blocks').
+
+    Must run inside shard_map over `axis`. Each of the n_axis steps computes
+    the online-softmax contribution of the K/V block currently held, then
+    ppermutes the block (and its mask) one hop around the ring; after n
+    steps every chip has attended its local queries to the GLOBAL key set,
+    with O(Lq_local * Lk_local) live scores — the same math as
+    `online_attention`, with ICI neighbors standing in for the kv-block
+    loop. Differentiable (lax.scan + checkpointed body; ppermute's
+    transpose is the inverse ppermute). Dropout uses the flash rescaling
+    identity (numerator dropped, denominator undropped) with the mask
+    keyed by the (query chip, origin chip) pair so every global (q, k)
+    element sees exactly one draw.
+    """
+    if temperature is None:
+        temperature = float(q.shape[-1]) ** 0.5
+    n = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    b, h, lq, _dk = q.shape
+    dv = v.shape[-1]
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, k.shape[2]), dtype=bool)
+    qt = (q / temperature).astype(jnp.float32)
+    keep = 1.0 - dropout_rate
+    use_drop = dropout_rate > 0.0 and dropout_rng is not None
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def body(carry, step):
+        m_run, denom, acc, k_b, v_b, msk_b = carry
+        s = jnp.einsum("bhqd,bhkd->bhqk", qt, k_b.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        s = jnp.where(msk_b[:, None, None, :], s, NEG_INF)
+        m_new = jnp.maximum(m_run, s.max(axis=-1))
+        scale = jnp.exp(m_run - m_new)
+        e = jnp.exp(s - m_new[..., None])
+        denom = denom * scale + e.sum(axis=-1)
+        if use_drop:
+            src = (me - step) % n  # which chip's block we hold at this step
+            rng_b = jax.random.fold_in(
+                jax.random.fold_in(dropout_rng, me), src)
+            dmask = fast_bernoulli(rng_b, keep, e.shape)
+            e_num = jnp.where(dmask, e / keep, 0.0)
+        else:
+            e_num = e
+        acc = acc * scale[..., None] + jnp.einsum(
+            "bhqk,bhkd->bhqd", e_num, v_b.astype(jnp.float32),
+            preferred_element_type=jnp.float32)
+        k_b = jax.lax.ppermute(k_b, axis, perm)
+        v_b = jax.lax.ppermute(v_b, axis, perm)
+        msk_b = jax.lax.ppermute(msk_b, axis, perm)
+        return (m_new, denom, acc, k_b, v_b, msk_b), None
+
+    init = (
+        jnp.full((b, h, lq), NEG_INF, dtype=jnp.float32),
+        jnp.zeros((b, h, lq), dtype=jnp.float32),
+        jnp.zeros((b, h, lq, dv), dtype=jnp.float32),
+        k, v, kv_mask,
+    )
+    (m_run, denom, acc, _, _, _), _ = jax.lax.scan(
+        jax.checkpoint(body), init, jnp.arange(n))
+    out = acc / jnp.maximum(denom, 1e-30)[..., None]
+    return out.astype(v.dtype)
+
+
 class MultiHeadAttention(nn.Module):
     """Post-norm residual MHA (`models/attention.py:9-56`).
 
@@ -167,6 +243,12 @@ class MultiHeadAttention(nn.Module):
     attn_impl: str = "auto"
     dense_max_kv: int = 1024
     kv_block: int = 1024
+    # Set (to a mesh axis name) when the module runs inside shard_map with
+    # the POINT axis of q/k/v sharded over that axis: the attention core
+    # becomes `ring_attention` (exact full attention over the global key
+    # set via a ppermute ring of K/V blocks). Takes precedence over
+    # use_flash/attn_impl — the per-block compute is the XLA online path.
+    ring_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -207,7 +289,12 @@ class MultiHeadAttention(nn.Module):
         if impl == "auto":
             impl = "dense" if lk <= self.dense_max_kv else "online"
 
-        if self.use_flash:
+        if self.ring_axis is not None:
+            out = ring_attention(
+                qh, kh, vh, kv_mask, axis=self.ring_axis, temperature=temp,
+                dropout_rate=self.dropout if train else 0.0,
+                dropout_rng=attn_rng)
+        elif self.use_flash:
             from csn_tpu.ops.flash import flash_attention
 
             if attn_rng is not None:

@@ -14,6 +14,12 @@ the B=8 protocol that HBM-OOMs on one v5e chip (23.8 GB of MHA fwd+bwd
 activations, STATUS.md) fits at n_seq >= 2. The 'data' axis shards the
 batch with psum'd gradients, the standard DP recipe (parallel/dp.py).
 
+chunk_size=None (full attention, this framework's documented upgrade path)
+stays exact under 'seq' sharding too: the MHA core switches to
+`ring_attention` (ops/attention.py) — K/V blocks ppermute around the ring
+with online-softmax accumulation, so every query attends the global point
+set at O(Lq_local * Lk_local) live scores per step.
+
 Exactness: the sharded loss psums (nll_sum, valid_count) and divides once,
 reproducing the single-device masked mean bit-for-bit regardless of how the
 positive labels distribute over shards; pooled descriptors pmean equal-size
@@ -73,15 +79,10 @@ def _check_shapes(mesh: Mesh, feats, chunk_size: Optional[int]):
         raise ValueError(
             f"local points {p // n_seq} not divisible by chunk_size "
             f"{chunk_size}; pick n_seq so P/n_seq is a chunk multiple")
-    if chunk_size is None and n_seq > 1:
-        # ChunkedMHA with chunk_size=None would run FULL attention over
-        # only the local point shard — a silently different model (every
-        # point's context shrinks from P to P/n_seq). Point sharding is
-        # exact only because chunked attention is block-diagonal.
-        raise ValueError(
-            "seq_parallel > 1 requires chunked attention (chunk_size is "
-            "None = full attention, which point sharding cannot split "
-            "exactly); use data_parallel only, or set a chunk_size")
+    # chunk_size=None (full attention) + n_seq > 1 is handled by
+    # ring_attention (ops/attention.py): CrossShapeAt.setup routes the MHA
+    # core through a ppermute ring of K/V blocks when seq_axis is set with
+    # chunk_size None, so every query still attends the GLOBAL point set.
 
 
 def make_midfc_steps(model, attention_type: str, mesh: Mesh

@@ -122,13 +122,99 @@ def test_shape_guards():
     steps = make_midfc_steps(model, "ssa", mesh)
     with pytest.raises(ValueError, match="batch"):
         steps.ssa_feats(params, jnp.asarray(feats))
-    # chunk_size=None full attention cannot be point-sharded exactly
-    full_model = get_model("ssa", NCLS, n_heads=2, K=K, chunk_size=None,
-                           d_model=C, dropout=0.0)
-    mesh = make_midfc_mesh(2, 2)
-    steps = make_midfc_steps(full_model, "ssa", mesh)
-    with pytest.raises(ValueError, match="chunked attention"):
-        steps.ssa_feats(params, jnp.asarray(feats))
+
+
+def test_ring_attention_matches_dense():
+    """ring_attention inside shard_map == dense softmax attention on the
+    full key set (grads included), with a nontrivial K/V mask that travels
+    the ring."""
+    from jax.sharding import PartitionSpec as P
+
+    from csn_tpu.ops.attention import (
+        ring_attention, scaled_dot_product_attention,
+    )
+
+    b, h, l, dk, dv, n = 2, 3, 32, 8, 16, 4
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=(b, h, l, dk)).astype(np.float32)
+    k = rng.normal(size=(b, h, l, dk)).astype(np.float32)
+    v = rng.normal(size=(b, h, l, dv)).astype(np.float32)
+    mask = rng.random((b, l)) > 0.3
+    mask[:, :2] = True  # keep at least one valid key per shard-ish
+
+    mesh = make_midfc_mesh(1, n)
+
+    def sharded(q, k, v, m):
+        f = jax.shard_map(
+            lambda a, b_, c, d: ring_attention(a, b_, c, d, axis="seq"),
+            mesh=mesh,
+            in_specs=(P(None, None, "seq", None), P(None, None, "seq", None),
+                      P(None, None, "seq", None), P(None, "seq")),
+            out_specs=P(None, None, "seq", None), check_vma=False)
+        return f(q, k, v, m)
+
+    ref = scaled_dot_product_attention(jnp.asarray(q), jnp.asarray(k),
+                                       jnp.asarray(v), jnp.asarray(mask))
+    got = sharded(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                  jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+    # gradient parity through the ring (ppermute transpose)
+    def loss_ring(q_):
+        return (sharded(q_, jnp.asarray(k), jnp.asarray(v),
+                        jnp.asarray(mask)) ** 2).sum()
+
+    def loss_ref(q_):
+        return (scaled_dot_product_attention(
+            q_, jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask)) ** 2).sum()
+
+    g_ring = jax.grad(loss_ring)(jnp.asarray(q))
+    g_ref = jax.grad(loss_ref)(jnp.asarray(q))
+    np.testing.assert_allclose(np.asarray(g_ring), np.asarray(g_ref),
+                               rtol=5e-5, atol=5e-6)
+
+
+@pytest.mark.parametrize("attention_type,n_data,n_seq", [
+    ("ssa", 1, 4), ("csa", 2, 2),
+])
+def test_full_attention_seq_parallel_rings(attention_type, n_data, n_seq):
+    """chunk_size=None (full attention) under point sharding routes through
+    ring_attention and still matches the single-device model exactly."""
+    is_csa = attention_type == "csa"
+    model = get_model(attention_type, NCLS, n_heads=2, K=K, chunk_size=None,
+                      d_model=C, dropout=0.0)
+    feats, labels, neighbors = make_inputs()
+    if is_csa:
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(feats),
+                               jnp.asarray(neighbors), train=False)
+    else:
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(feats),
+                               train=False)
+    params = variables["params"]
+    mesh = make_midfc_mesh(n_data, n_seq)
+    steps = make_midfc_steps(model, attention_type, mesh)
+    nb = jnp.asarray(neighbors) if is_csa else None
+
+    if is_csa:
+        ref_logits = model.apply({"params": params}, feats, neighbors,
+                                 train=False)
+    else:
+        ref_logits = model.apply({"params": params}, feats, train=False)
+    got = steps.eval(params, jnp.asarray(feats), nb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_logits),
+                               rtol=2e-5, atol=2e-5)
+
+    ref_loss, ref_grads = single_device_grad(
+        model, params, jnp.asarray(feats), jnp.asarray(labels),
+        jnp.asarray(neighbors) if is_csa else None, is_csa)
+    loss, grads = steps.grad(params, jnp.asarray(feats), jnp.asarray(labels),
+                             nb, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(grads),
+                    jax.tree_util.tree_leaves(ref_grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=1e-5)
 
 
 def test_runner_parallel_trains_and_rebuilds(tmp_path):
