@@ -175,6 +175,57 @@ def test_ring_attention_matches_dense():
                                rtol=5e-5, atol=5e-6)
 
 
+def test_ring_attention_dropout_unbiased():
+    """Ring dropout uses the flash rescaling identity (numerator masked and
+    /keep, denominator UNdropped), so the dropped output is an unbiased
+    estimator of the undropped one: the mean over seeds must converge to
+    the dropout=0 output. Also: same rng => deterministic output."""
+    from jax.sharding import PartitionSpec as P
+
+    from csn_tpu.ops.attention import ring_attention
+
+    b, h, l, dk, dv, n = 1, 2, 16, 8, 8, 4
+    rate = 0.3
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.normal(size=(b, h, l, dk)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, l, dk)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, l, dv)).astype(np.float32))
+
+    mesh = make_midfc_mesh(1, n)
+
+    def run(key):
+        f = jax.shard_map(
+            lambda a, b_, c, kk: ring_attention(
+                a, b_, c, None, axis="seq", dropout_rate=rate,
+                dropout_rng=kk[0]),
+            mesh=mesh,
+            in_specs=(P(None, None, "seq", None), P(None, None, "seq", None),
+                      P(None, None, "seq", None), P()),
+            out_specs=P(None, None, "seq", None), check_vma=False)
+        return f(q, k, v, key[None])
+
+    base = jax.shard_map(
+        lambda a, b_, c: ring_attention(a, b_, c, None, axis="seq"),
+        mesh=mesh,
+        in_specs=(P(None, None, "seq", None),) * 3,
+        out_specs=P(None, None, "seq", None), check_vma=False)(q, k, v)
+
+    # determinism: one rng, two calls
+    k0 = jax.random.PRNGKey(123)
+    np.testing.assert_array_equal(np.asarray(run(k0)), np.asarray(run(k0)))
+
+    runj = jax.jit(run)
+    n_seeds = 400
+    acc = np.zeros(base.shape, np.float64)
+    for s in range(n_seeds):
+        acc += np.asarray(runj(jax.random.PRNGKey(s)), np.float64)
+    mean = acc / n_seeds
+    # SE of the mean ~ rate/sqrt(n_seeds) of the attention scale; loose 3-sigma
+    err = np.abs(mean - np.asarray(base, np.float64))
+    tol = 3.0 * rate / np.sqrt(n_seeds) * np.abs(np.asarray(v)).max()
+    assert err.max() < max(tol, 0.12), (err.max(), tol)
+
+
 @pytest.mark.parametrize("attention_type,n_data,n_seq", [
     ("ssa", 1, 4), ("csa", 2, 2),
 ])
