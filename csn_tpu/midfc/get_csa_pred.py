@@ -37,7 +37,9 @@ def main(argv=None):
     ap.add_argument("--torch_ckpt", type=str, default="")
     ap.add_argument("--msgpack_ckpt", type=str, default="")
     ap.add_argument("--knn_graph_dir", type=str, default="")
-    ap.add_argument("--chunk_size", type=int, default=500)
+    ap.add_argument("--chunk_size", type=int, default=500,
+                    help="attention chunk (reference checkpoints: 500); "
+                    "0 = FULL attention (only for checkpoints trained so)")
     ap.add_argument("--d_model", type=int, default=256)
     ap.add_argument("--num_points", type=int, default=10000)
     ap.add_argument("--batch_size", type=int, default=1)
@@ -50,7 +52,8 @@ def main(argv=None):
     cfg = MidfcConfig(
         logs_dir=args.logs_dir, partname=args.partname,
         num_classes=args.num_classes, n_heads=args.n_heads, K=args.K,
-        batch_size=args.batch_size, chunk_size=args.chunk_size,
+        batch_size=args.batch_size,
+        chunk_size=args.chunk_size if args.chunk_size > 0 else None,
         d_model=args.d_model, num_points=args.num_points,
         # pinned f32 + dense attention: this surface reproduces the
         # reference checkpoint's numbers exactly (PARITY.md); bf16/flash

@@ -47,6 +47,14 @@ class ChunkedMHA(nn.Module):
     ring_axis: Optional[str] = None   # full-attention point sharding
 
     def setup(self):
+        if self.chunk_size is not None and self.ring_axis is not None:
+            # ringing per-chunk blocks would attend each local chunk to the
+            # union of same-index chunks on every chip — neither chunked nor
+            # full attention. ring_axis is the chunk_size=None sharded form.
+            raise ValueError(
+                "ring_axis requires chunk_size=None (full attention); "
+                "chunked attention is block-diagonal and point shards are "
+                "independent — no ring needed")
         self.mha = MultiHeadAttention(
             n_head=self.n_head, d_model=self.d_model, d_k=self.d_k,
             d_v=self.d_v, dropout=self.dropout, use_flash=self.use_flash,

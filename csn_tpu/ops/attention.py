@@ -67,6 +67,32 @@ def fast_bernoulli(rng, keep_prob: float, shape):
     return jax.random.bits(rng, shape, jnp.uint16) < jnp.uint16(t)
 
 
+def _online_block_update(carry, qt, k_b, v_b, msk_b, keep, rng_b):
+    """One online-softmax block update over (k_b, v_b, msk_b) — the single
+    source of the numerically delicate running-max/rescale/denominator math
+    shared by `online_attention` (local kv blocks) and `ring_attention`
+    (blocks arriving over ICI). `rng_b` is the per-block dropout key or
+    None; dropout uses the flash rescaling identity (numerator masked and
+    /keep, denominator UNdropped == torch's dropout(softmax(s)) @ v)."""
+    m_run, denom, acc = carry
+    s = jnp.einsum("bhqd,bhkd->bhqk", qt, k_b.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    s = jnp.where(msk_b[:, None, None, :], s, NEG_INF)
+    m_new = jnp.maximum(m_run, s.max(axis=-1))
+    scale = jnp.exp(m_run - m_new)
+    e = jnp.exp(s - m_new[..., None])
+    denom = denom * scale + e.sum(axis=-1)
+    if rng_b is not None:
+        dmask = fast_bernoulli(rng_b, keep, e.shape)
+        e_num = jnp.where(dmask, e / keep, 0.0)
+    else:
+        e_num = e
+    acc = acc * scale[..., None] + jnp.einsum(
+        "bhqk,bhkd->bhqd", e_num, v_b.astype(jnp.float32),
+        preferred_element_type=jnp.float32)
+    return m_new, denom, acc
+
+
 def online_attention(
     q: jnp.ndarray,            # [B, H, Lq, Dk]
     k: jnp.ndarray,            # [B, H, Lk, Dk]
@@ -112,25 +138,10 @@ def online_attention(
     use_drop = dropout_rate > 0.0 and dropout_rng is not None
 
     def body(carry, inp):
-        m_run, denom, acc = carry
         k_b, v_b, msk_b, i_b = inp
-        s = jnp.einsum("bhqd,bhkd->bhqk", qt, k_b.astype(jnp.float32),
-                       preferred_element_type=jnp.float32)
-        s = jnp.where(msk_b[:, None, None, :], s, NEG_INF)
-        m_new = jnp.maximum(m_run, s.max(axis=-1))
-        scale = jnp.exp(m_run - m_new)
-        e = jnp.exp(s - m_new[..., None])
-        denom = denom * scale + e.sum(axis=-1)
-        if use_drop:
-            rng_b = jax.random.fold_in(dropout_rng, i_b)
-            dmask = fast_bernoulli(rng_b, keep, e.shape)
-            e_num = jnp.where(dmask, e / keep, 0.0)
-        else:
-            e_num = e
-        acc = acc * scale[..., None] + jnp.einsum(
-            "bhqk,bhkd->bhqd", e_num, v_b.astype(jnp.float32),
-            preferred_element_type=jnp.float32)
-        return (m_new, denom, acc), None
+        rng_b = jax.random.fold_in(dropout_rng, i_b) if use_drop else None
+        return _online_block_update(carry, qt, k_b, v_b, msk_b, keep,
+                                    rng_b), None
 
     init = (
         jnp.full((b, h, lq), NEG_INF, dtype=jnp.float32),
@@ -163,11 +174,14 @@ def ring_attention(
     steps every chip has attended its local queries to the GLOBAL key set,
     with O(Lq_local * Lk_local) live scores — the same math as
     `online_attention`, with ICI neighbors standing in for the kv-block
-    loop. Differentiable (lax.scan + checkpointed body; ppermute's
-    transpose is the inverse ppermute). Dropout uses the flash rescaling
-    identity (numerator dropped, denominator undropped) with the mask
-    keyed by the (query chip, origin chip) pair so every global (q, k)
-    element sees exactly one draw.
+    loop and `_online_block_update` the shared math. Differentiable
+    (lax.scan + checkpointed body; ppermute's transpose is the inverse
+    ppermute). Dropout uses the flash rescaling identity (numerator
+    dropped, denominator undropped) with the mask keyed by the (query
+    chip, origin chip) pair so every global (q, k) element sees exactly
+    one draw. The ring makes n-1 hops: the locally-held block is consumed
+    before the first permute, and the last-received block is not
+    forwarded.
     """
     if temperature is None:
         temperature = float(q.shape[-1]) ** 0.5
@@ -182,39 +196,35 @@ def ring_attention(
     use_drop = dropout_rate > 0.0 and dropout_rng is not None
     perm = [(i, (i + 1) % n) for i in range(n)]
 
+    def rng_for(src):
+        if not use_drop:
+            return None
+        return jax.random.fold_in(jax.random.fold_in(dropout_rng, me), src)
+
     def body(carry, step):
         m_run, denom, acc, k_b, v_b, msk_b = carry
-        s = jnp.einsum("bhqd,bhkd->bhqk", qt, k_b.astype(jnp.float32),
-                       preferred_element_type=jnp.float32)
-        s = jnp.where(msk_b[:, None, None, :], s, NEG_INF)
-        m_new = jnp.maximum(m_run, s.max(axis=-1))
-        scale = jnp.exp(m_run - m_new)
-        e = jnp.exp(s - m_new[..., None])
-        denom = denom * scale + e.sum(axis=-1)
-        if use_drop:
-            src = (me - step) % n  # which chip's block we hold at this step
-            rng_b = jax.random.fold_in(
-                jax.random.fold_in(dropout_rng, me), src)
-            dmask = fast_bernoulli(rng_b, keep, e.shape)
-            e_num = jnp.where(dmask, e / keep, 0.0)
-        else:
-            e_num = e
-        acc = acc * scale[..., None] + jnp.einsum(
-            "bhqk,bhkd->bhqd", e_num, v_b.astype(jnp.float32),
-            preferred_element_type=jnp.float32)
+        # receive before compute: at scan step t (1..n-1) we hold the
+        # block that originated on chip (me - t) % n
         k_b = jax.lax.ppermute(k_b, axis, perm)
         v_b = jax.lax.ppermute(v_b, axis, perm)
         msk_b = jax.lax.ppermute(msk_b, axis, perm)
-        return (m_new, denom, acc, k_b, v_b, msk_b), None
+        upd = _online_block_update((m_run, denom, acc), qt, k_b, v_b, msk_b,
+                                   keep, rng_for((me - step) % n))
+        return upd + (k_b, v_b, msk_b), None
 
-    init = (
+    init3 = (
         jnp.full((b, h, lq), NEG_INF, dtype=jnp.float32),
         jnp.zeros((b, h, lq), dtype=jnp.float32),
         jnp.zeros((b, h, lq, dv), dtype=jnp.float32),
-        k, v, kv_mask,
     )
+    # step 0: the locally-held block, no hop (keep closed over: it must
+    # stay a static Python float for fast_bernoulli's threshold)
+    first = jax.checkpoint(
+        lambda c, q_, k_, v_, m_, r: _online_block_update(
+            c, q_, k_, v_, m_, keep, r))(
+        init3, qt, k, v, kv_mask, rng_for(me))
     (m_run, denom, acc, _, _, _), _ = jax.lax.scan(
-        jax.checkpoint(body), init, jnp.arange(n))
+        jax.checkpoint(body), first + (k, v, kv_mask), jnp.arange(1, n))
     out = acc / jnp.maximum(denom, 1e-30)[..., None]
     return out.astype(v.dtype)
 

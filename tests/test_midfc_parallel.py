@@ -122,6 +122,15 @@ def test_shape_guards():
     steps = make_midfc_steps(model, "ssa", mesh)
     with pytest.raises(ValueError, match="batch"):
         steps.ssa_feats(params, jnp.asarray(feats))
+    # ring_axis + chunked attention is a contradiction (each local chunk
+    # would ring to same-index chunks on other chips) — must fail fast
+    from csn_tpu.midfc.model import ChunkedMHA
+
+    bad = ChunkedMHA(n_head=2, d_model=C, d_k=C, d_v=C, chunk_size=CHUNK,
+                     ring_axis="seq")
+    x = jnp.zeros((1, P, C), jnp.float32)
+    with pytest.raises(ValueError, match="ring_axis requires"):
+        bad.init(jax.random.PRNGKey(0), x, x, x)
 
 
 def test_ring_attention_matches_dense():
