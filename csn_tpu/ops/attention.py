@@ -14,6 +14,7 @@ masks — this replaces both the per-batch-element Python loop of the reference
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -229,6 +230,133 @@ def ring_attention(
     return out.astype(v.dtype)
 
 
+def _ring_hop_seed(seed, me, n, step):
+    """Distinct int32 seed per (query chip, origin chip) pair for the flash
+    ring's in-kernel dropout: origin = (me - step) % n. Uniqueness for a
+    fixed base seed holds because |me*n + origin| < n^2 << 2^31 — every
+    global (q, k) element sees exactly one draw (the same keying contract as
+    the online ring's fold_in pair)."""
+    if seed is None:
+        return None
+    origin = jax.lax.rem(me - step + n, n)
+    return (jnp.asarray(seed, jnp.int32) * jnp.int32(65599)
+            + me.astype(jnp.int32) * jnp.int32(n)
+            + origin.astype(jnp.int32))
+
+
+def _ring_flash_scan(q, k, v, kv_mask, axis, temperature, dropout, seed):
+    """The flash ring forward: hop K/V blocks around `axis`, running the
+    Pallas carry kernel (ops/flash.py flash_forward_carry) per block.
+    Returns (out f32, lse). Shared by the primal and the vjp-fwd."""
+    from csn_tpu.ops.flash import (
+        flash_carry_finalize, flash_carry_init, flash_forward_carry,
+    )
+
+    n = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    b, h, lq, _dk = q.shape
+    dv = v.shape[-1]
+    carry0 = flash_carry_init(b, h, lq, dv)
+    # step 0: the locally-held block, no hop
+    c = flash_forward_carry(q, k, v, kv_mask, None, carry0, temperature,
+                            dropout, _ring_hop_seed(seed, me, n, 0))
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def body(state, step):
+        carry, k_b, v_b, m_b = state
+        k_b = jax.lax.ppermute(k_b, axis, perm)
+        v_b = jax.lax.ppermute(v_b, axis, perm)
+        m_b = jax.lax.ppermute(m_b, axis, perm)
+        carry = flash_forward_carry(q, k_b, v_b, m_b, None, carry,
+                                    temperature, dropout,
+                                    _ring_hop_seed(seed, me, n, step))
+        return (carry, k_b, v_b, m_b), None
+
+    (c, _, _, _), _ = jax.lax.scan(body, (c, k, v, kv_mask),
+                                   jnp.arange(1, n))
+    return flash_carry_finalize(c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _ring_flash(q, k, v, kv_mask, axis, temperature, dropout, seed):
+    out, _lse = _ring_flash_scan(q, k, v, kv_mask, axis, temperature,
+                                 dropout, seed)
+    return out.astype(v.dtype)
+
+
+def _ring_flash_fwd(q, k, v, kv_mask, axis, temperature, dropout, seed):
+    out, lse = _ring_flash_scan(q, k, v, kv_mask, axis, temperature,
+                                dropout, seed)
+    return out.astype(v.dtype), (q, k, v, kv_mask, seed, out, lse)
+
+
+def _ring_flash_bwd(axis, temperature, dropout, res, g):
+    """Ring backward: re-ring the K/V blocks once; each hop runs the fused
+    Pallas flash backward (ops/flash.py flash_block_backward) against the
+    GLOBAL (out, lse, g) — dq accumulates locally, the per-block (dk, dv)
+    cotangents travel WITH their block and are home after the n-th hop.
+    Total traffic: n hops of (k, v, mask, dk, dv) — no forward recompute,
+    which also retires the checkpointed-scan ring's doubled ppermute traffic
+    (ADVICE r3 #2) on this path."""
+    from csn_tpu.ops.flash import flash_block_backward
+
+    q, k, v, kv_mask, seed, out, lse = res
+    n = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    dq0 = jnp.zeros(q.shape, jnp.float32)
+
+    def body(state, step):
+        k_b, v_b, m_b, dk_acc, dv_acc, dq = state
+        dq_c, dk_c, dv_c = flash_block_backward(
+            q, k_b, v_b, m_b, out, lse, g, temperature, dropout,
+            _ring_hop_seed(seed, me, n, step))
+        dq = dq + dq_c.astype(jnp.float32)
+        dk_acc = dk_acc + dk_c.astype(jnp.float32)
+        dv_acc = dv_acc + dv_c.astype(jnp.float32)
+        # block + its accumulated cotangent move one hop together; after n
+        # total hops the cotangents sit on the block's origin chip
+        k_b = jax.lax.ppermute(k_b, axis, perm)
+        v_b = jax.lax.ppermute(v_b, axis, perm)
+        m_b = jax.lax.ppermute(m_b, axis, perm)
+        dk_acc = jax.lax.ppermute(dk_acc, axis, perm)
+        dv_acc = jax.lax.ppermute(dv_acc, axis, perm)
+        return (k_b, v_b, m_b, dk_acc, dv_acc, dq), None
+
+    init = (k, v, kv_mask, jnp.zeros(k.shape, jnp.float32),
+            jnp.zeros(v.shape, jnp.float32), dq0)
+    (k_b, v_b, m_b, dk_acc, dv_acc, dq), _ = jax.lax.scan(
+        body, init, jnp.arange(n))
+    return (dq.astype(q.dtype), dk_acc.astype(k.dtype),
+            dv_acc.astype(v.dtype), None, None)
+
+
+_ring_flash.defvjp(_ring_flash_fwd, _ring_flash_bwd)
+
+
+def ring_flash_attention(q, k, v, kv_mask, axis: str,
+                         temperature: Optional[float] = None,
+                         dropout_rate: float = 0.0, dropout_rng=None,
+                         seed=None):
+    """`ring_attention` with the per-block compute on the Pallas flash
+    kernels (carry-in accumulators): exact full attention over the sharded
+    point axis at flash speed. Dropout runs in-kernel (TPU PRNG) keyed by
+    (query chip, origin chip) — deterministic given `seed`, a different
+    stream than the online ring's fast_bernoulli (no surface promises a
+    particular dropout stream). Differentiable via one custom VJP over the
+    whole ring (see _ring_flash_bwd)."""
+    if temperature is None:
+        temperature = float(q.shape[-1]) ** 0.5
+    if kv_mask is None:
+        kv_mask = jnp.ones((q.shape[0], k.shape[2]), dtype=bool)
+    if dropout_rate > 0.0 and seed is None and dropout_rng is not None:
+        seed = jax.random.randint(dropout_rng, (), 0, 2 ** 31 - 1)
+    if dropout_rate <= 0.0:
+        seed = None
+    return _ring_flash(q, k, v, kv_mask, axis, temperature,
+                       dropout_rate if seed is not None else 0.0, seed)
+
+
 class MultiHeadAttention(nn.Module):
     """Post-norm residual MHA (`models/attention.py:9-56`).
 
@@ -255,9 +383,10 @@ class MultiHeadAttention(nn.Module):
     kv_block: int = 1024
     # Set (to a mesh axis name) when the module runs inside shard_map with
     # the POINT axis of q/k/v sharded over that axis: the attention core
-    # becomes `ring_attention` (exact full attention over the global key
-    # set via a ppermute ring of K/V blocks). Takes precedence over
-    # use_flash/attn_impl — the per-block compute is the XLA online path.
+    # becomes a ppermute ring of K/V blocks computing exact full attention
+    # over the global key set. With use_flash=True the per-block compute is
+    # the Pallas flash carry kernel (ring_flash_attention); otherwise the
+    # XLA online-softmax path (ring_attention).
     ring_axis: Optional[str] = None
 
     @nn.compact
@@ -300,10 +429,18 @@ class MultiHeadAttention(nn.Module):
             impl = "dense" if lk <= self.dense_max_kv else "online"
 
         if self.ring_axis is not None:
-            out = ring_attention(
-                qh, kh, vh, kv_mask, axis=self.ring_axis, temperature=temp,
-                dropout_rate=self.dropout if train else 0.0,
-                dropout_rng=attn_rng)
+            if self.use_flash:
+                out = ring_flash_attention(
+                    qh, kh, vh, kv_mask, axis=self.ring_axis,
+                    temperature=temp,
+                    dropout_rate=self.dropout if train else 0.0,
+                    dropout_rng=attn_rng)
+            else:
+                out = ring_attention(
+                    qh, kh, vh, kv_mask, axis=self.ring_axis,
+                    temperature=temp,
+                    dropout_rate=self.dropout if train else 0.0,
+                    dropout_rng=attn_rng)
         elif self.use_flash:
             from csn_tpu.ops.flash import flash_attention
 

@@ -295,6 +295,186 @@ def _flash_forward(q, k, v, kv_mask, q_mask, temperature: float,
 
 
 # ---------------------------------------------------------------------------
+# carry-in / carry-out forward (ring attention per-block kernel)
+# ---------------------------------------------------------------------------
+
+def _fwd_carry_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, qmask_ref,
+                      m_in_ref, l_in_ref, acc_in_ref,
+                      m_out_ref, l_out_ref, acc_out_ref,
+                      m_scratch, l_scratch, acc_scratch, *,
+                      temperature: float, num_k_blocks: int, dropout: float):
+    """`_fwd_kernel` with EXTERNAL online-softmax state: the (m, l, acc)
+    accumulators initialize from carry inputs instead of (-inf, 0, 0) and are
+    emitted raw (un-normalized) instead of finalized — so a sequence of calls
+    over disjoint kv blocks (e.g. blocks arriving over an ICI ring,
+    ops/attention.py ring_attention) composes into exactly one flash pass
+    over their union. The caller normalizes acc/l (and forms lse) once at the
+    end."""
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scratch[...] = jnp.broadcast_to(m_in_ref[0, 0][:, None],
+                                          m_scratch.shape)
+        l_scratch[...] = jnp.broadcast_to(l_in_ref[0, 0][:, None],
+                                          l_scratch.shape)
+        acc_scratch[...] = acc_in_ref[0].astype(jnp.float32)
+
+    msk = mask_ref[0, 0]
+    live = jnp.logical_and(jnp.any(msk != 0), jnp.any(qmask_ref[0, 0] != 0))
+
+    @pl.when(live)
+    def _compute():
+        q = (q_ref[0].astype(jnp.float32) * (1.0 / temperature)).astype(
+            jnp.bfloat16)
+        k = k_ref[0].astype(jnp.bfloat16)
+        v = v_ref[0].astype(jnp.bfloat16)
+
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)
+        s = jnp.where(msk[None, :] != 0, s, NEG_INF)
+
+        m_prev = m_scratch[:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        scale = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_scratch[:, :1] * scale + jnp.sum(p, axis=1, keepdims=True)
+
+        if dropout > 0.0:
+            keep = 1.0 - dropout
+            dm = _drop_mask(seed_ref, bh, qi,
+                            ki * (p.shape[1] // 128), p.shape, keep)
+            p_num = jnp.where(dm, p * (1.0 / keep), 0.0)
+        else:
+            p_num = p
+
+        acc_scratch[...] = acc_scratch[...] * scale + jax.lax.dot_general(
+            p_num.astype(jnp.bfloat16), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)
+
+        m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
+        l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        m_out_ref[0, 0] = m_scratch[:, 0]
+        l_out_ref[0, 0] = l_scratch[:, 0]
+        acc_out_ref[0] = acc_scratch[...]
+
+
+def flash_carry_init(b: int, h: int, lq: int, dv: int):
+    """Fresh (m, l, acc) carry for `flash_forward_carry` — the same
+    (-inf, 0, 0) state `_fwd_kernel` initializes internally."""
+    return (jnp.full((b, h, lq), NEG_INF, jnp.float32),
+            jnp.zeros((b, h, lq), jnp.float32),
+            jnp.zeros((b, h, lq, dv), jnp.float32))
+
+
+def flash_carry_finalize(carry):
+    """(m, l, acc) -> (out [B,H,Lq,Dv] f32, lse [B,H,Lq]). Matches
+    `_fwd_kernel`'s finalize (denominator floored at 1e-30)."""
+    m, l, acc = carry
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    lse = m + jnp.log(jnp.maximum(l, 1e-30))
+    return out, lse
+
+
+def flash_forward_carry(q, k, v, kv_mask, q_mask, carry,
+                        temperature: float, dropout: float = 0.0, seed=None,
+                        block_q: int = None, block_k: int = None):
+    """One flash pass over THIS kv block, continuing the online-softmax state
+    in `carry` = (m [B,H,Lq], l [B,H,Lq], acc [B,H,Lq,Dv]), all f32. Returns
+    the updated carry (un-normalized — see flash_carry_finalize).
+
+    This is the per-ring-block kernel for `ring_attention(use_flash=True)`:
+    n chips' kv shards chained through the carry compute exactly the single-
+    chip flash result over the global key set. NOT differentiable on its own
+    (no VJP) — the ring wraps the whole hop sequence in one custom_vjp whose
+    backward re-rings the blocks through `flash_block_backward`."""
+    block_q = _block_override("CSN_FLASH_FQ", block_q or 512)
+    block_k = _block_override("CSN_FLASH_FK", block_k or 2048)
+    b, h, lq, dk = q.shape
+    dv = v.shape[-1]
+    qf, kf, vf, mp, qmp, block_q, block_k, lqp, lkp = _prep(
+        q, k, v, kv_mask, q_mask, block_q, block_k)
+    nq, nk = lqp // block_q, lkp // block_k
+    if dropout > 0.0:
+        _check_drop_seed_bounds(lqp, lkp, block_q)
+
+    m_in, l_in, acc_in = carry
+    # pad carries along lq to the padded plane (padded q rows: junk by
+    # contract; NEG_INF/0 keeps them NaN-free)
+    m_f = m_in.reshape(b * h, 1, lq)
+    l_f = l_in.reshape(b * h, 1, lq)
+    if lqp != lq:
+        padw = ((0, 0), (0, 0), (0, lqp - lq))
+        m_f = jnp.pad(m_f, padw, constant_values=NEG_INF)
+        l_f = jnp.pad(l_f, padw)
+    acc_f, _ = _pad_to(acc_in.reshape(b * h, lq, dv), 1, block_q)
+
+    kernel = functools.partial(_fwd_carry_kernel, temperature=temperature,
+                               num_k_blocks=nk, dropout=dropout)
+    seed_arr = (jnp.zeros((1, 1), jnp.int32) if seed is None
+                else jnp.asarray(seed, jnp.int32).reshape(1, 1))
+    m_o, l_o, acc_o = pl.pallas_call(
+        kernel,
+        grid=(b * h, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, dk), lambda bh, qi, ki: (bh, qi, 0)),
+            pl.BlockSpec((1, block_k, dk), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, block_k, dv), lambda bh, qi, ki: (bh, ki, 0)),
+            pl.BlockSpec((1, 1, block_k),
+                         lambda bh, qi, ki: (bh // h, 0, ki)),
+            pl.BlockSpec((1, 1, block_q),
+                         lambda bh, qi, ki: (bh // h, 0, qi)),
+            pl.BlockSpec((1, 1, block_q), lambda bh, qi, ki: (bh, 0, qi)),
+            pl.BlockSpec((1, 1, block_q), lambda bh, qi, ki: (bh, 0, qi)),
+            pl.BlockSpec((1, block_q, dv), lambda bh, qi, ki: (bh, qi, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q), lambda bh, qi, ki: (bh, 0, qi)),
+            pl.BlockSpec((1, 1, block_q), lambda bh, qi, ki: (bh, 0, qi)),
+            pl.BlockSpec((1, block_q, dv), lambda bh, qi, ki: (bh, qi, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, 1, lqp), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, 1, lqp), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, lqp, dv), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, dv), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=fwd_vmem_budget(dk, dv, block_q, block_k)),
+    )(seed_arr, qf, kf, vf, mp, qmp, m_f, l_f, acc_f)
+    return (m_o.reshape(b, h, lqp)[:, :, :lq],
+            l_o.reshape(b, h, lqp)[:, :, :lq],
+            acc_o.reshape(b, h, lqp, dv)[:, :, :lq, :])
+
+
+def flash_block_backward(q, k, v, kv_mask, out, lse, g, temperature: float,
+                         dropout: float = 0.0, seed=None):
+    """Per-kv-block backward for the ring: given the GLOBAL (out, lse, g) and
+    one kv block, returns (dq_contribution, dk_block, dv_block). Summing
+    dq over blocks and keeping dk/dv per block is exactly the full flash
+    backward split across the ring. dq comes back f32 for safe cross-hop
+    accumulation."""
+    dq, dk, dv = _flash_backward(q.astype(jnp.float32), k, v, kv_mask, None,
+                                 out, lse, g, temperature, dropout, seed)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
 # backward
 # ---------------------------------------------------------------------------
 

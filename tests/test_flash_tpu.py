@@ -499,3 +499,100 @@ def test_window_conv_banked_onehot_parity_on_tpu(monkeypatch):
     check("same0k3", 64, 64, "same0k3", True)
     check("down0k3", 64, 128, "up0k3", False)
     check("same0k5", 3, 32, "same0k5", True, group=25)
+
+
+def test_ring_flash_single_chip_on_tpu():
+    """n=1 flash ring (carry kernel + XLA finalize, no hops) == plain
+    flash_attention on the real chip — values and the full custom-vjp
+    backward (VERDICT r3 item 3's single-chip-provable parity)."""
+    from jax.sharding import PartitionSpec as P
+
+    from csn_tpu.ops.attention import ring_flash_attention
+    from csn_tpu.parallel.midfc import make_midfc_mesh
+
+    rng = np.random.default_rng(21)
+    B, H, L, D = 2, 4, 768, 64
+    q = jnp.asarray(rng.normal(size=(B, H, L, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, L, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, L, D)).astype(np.float32))
+    mask = np.ones((B, L), dtype=bool)
+    mask[0, 600:] = False
+    mask = jnp.asarray(mask)
+
+    mesh = make_midfc_mesh(1, 1)
+    ring = jax.shard_map(
+        lambda a, b_, c, d: ring_flash_attention(a, b_, c, d, axis="seq",
+                                                 temperature=8.0),
+        mesh=mesh,
+        in_specs=(P(None, None, "seq", None), P(None, None, "seq", None),
+                  P(None, None, "seq", None), P(None, "seq")),
+        out_specs=P(None, None, "seq", None), check_vma=False)
+
+    out_r = np.asarray(ring(q, k, v, mask))
+    out_f = np.asarray(flash_attention(q, k, v, mask, temperature=8.0))
+    assert np.abs(out_r - out_f).max() < 1e-5 * max(np.abs(out_f).max(), 1.0)
+
+    g_r = jax.grad(lambda q_, k_, v_: jnp.sum(ring(q_, k_, v_, mask) ** 2),
+                   argnums=(0, 1, 2))(q, k, v)
+    g_f = jax.grad(lambda q_, k_, v_: jnp.sum(flash_attention(
+        q_, k_, v_, mask, temperature=8.0) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_r, g_f):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() < 1e-4 * max(np.abs(b).max(), 1.0)
+
+
+def test_ring_flash_dropout_deterministic_on_tpu():
+    """In-kernel TPU-PRNG dropout through the flash ring: same rng => same
+    output (fwd determinism is what makes the ring backward regenerate the
+    exact forward mask), different rng => different output, and the
+    dropout=0 path equals the no-dropout ring."""
+    from jax.sharding import PartitionSpec as P
+
+    from csn_tpu.ops.attention import ring_flash_attention
+    from csn_tpu.parallel.midfc import make_midfc_mesh
+
+    rng = np.random.default_rng(22)
+    B, H, L, D = 1, 2, 512, 64
+    q = jnp.asarray(rng.normal(size=(B, H, L, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, L, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, L, D)).astype(np.float32))
+
+    mesh = make_midfc_mesh(1, 1)
+
+    def run(key, rate):
+        f = jax.shard_map(
+            lambda a, b_, c, kk: ring_flash_attention(
+                a, b_, c, None, axis="seq", dropout_rate=rate,
+                dropout_rng=kk[0]),
+            mesh=mesh,
+            in_specs=(P(None, None, "seq", None), P(None, None, "seq", None),
+                      P(None, None, "seq", None), P()),
+            out_specs=P(None, None, "seq", None), check_vma=False)
+        return np.asarray(f(q, k, v, jax.random.PRNGKey(int(key))[None]))
+
+    a1 = run(123, 0.3)
+    a2 = run(123, 0.3)
+    b1 = run(456, 0.3)
+    np.testing.assert_array_equal(a1, a2)
+    assert np.abs(a1 - b1).max() > 1e-4  # masks actually differ
+
+    no_drop = run(123, 0.0)
+    plain = jax.shard_map(
+        lambda a, b_, c: ring_flash_attention(a, b_, c, None, axis="seq"),
+        mesh=mesh,
+        in_specs=(P(None, None, "seq", None),) * 3,
+        out_specs=P(None, None, "seq", None), check_vma=False)(q, k, v)
+    np.testing.assert_array_equal(no_drop, np.asarray(plain))
+
+    # dropped grads stay finite through the ring backward
+    f = jax.shard_map(
+        lambda a, b_, c, kk: ring_flash_attention(
+            a, b_, c, None, axis="seq", dropout_rate=0.3,
+            dropout_rng=kk[0]),
+        mesh=mesh,
+        in_specs=(P(None, None, "seq", None), P(None, None, "seq", None),
+                  P(None, None, "seq", None), P()),
+        out_specs=P(None, None, "seq", None), check_vma=False)
+    g = jax.grad(lambda q_: jnp.sum(
+        f(q_, k, v, jax.random.PRNGKey(9)[None]) ** 2))(q)
+    assert np.isfinite(np.asarray(g)).all()
