@@ -37,7 +37,9 @@ def main(argv=None):
     ap.add_argument("--torch_ckpt", type=str, default="")
     ap.add_argument("--msgpack_ckpt", type=str, default="")
     ap.add_argument("--knn_graph_dir", type=str, default="")
-    ap.add_argument("--chunk_size", type=int, default=500,
+    from csn_tpu.midfc import chunk_size_arg
+
+    ap.add_argument("--chunk_size", type=chunk_size_arg, default=500,
                     help="attention chunk (reference checkpoints: 500); "
                     "0 = FULL attention (only for checkpoints trained so)")
     ap.add_argument("--d_model", type=int, default=256)

@@ -64,7 +64,9 @@ def main(argv=None):
     ap.add_argument("--start", type=int, default=0)
     ap.add_argument("--end", type=int, default=16)
     ap.add_argument("--testing", action="store_true")
-    ap.add_argument("--chunk_size", type=int, default=500,
+    from csn_tpu.midfc import chunk_size_arg
+
+    ap.add_argument("--chunk_size", type=chunk_size_arg, default=500,
                     help="attention chunk (reference: 500); 0 = FULL "
                     "attention over the point set (the TPU upgrade path; "
                     "under --seq_parallel it runs ring_attention)")

@@ -210,9 +210,14 @@ class MidfcRunner:
                 return self.model.init(r, f, n, train=False)
             return self.model.init(r, f, train=False)
 
-        variables = jax.jit(init_fn)(init_rng, jnp.asarray(sample_feats),
-                                     None if sample_neighbors is None
-                                     else jnp.asarray(sample_neighbors))
+        # param shapes are batch/point independent: init traces a forward on
+        # ONE shape instead of the full global batch, so a (data, seq) mesh
+        # run no longer pays a single-chip full-batch forward at startup
+        # (ADVICE r3 — this capped the scale the mesh could reach)
+        f0 = jnp.asarray(sample_feats)[:1]
+        n0 = (None if sample_neighbors is None
+              else jnp.asarray(sample_neighbors)[:1])
+        variables = jax.jit(init_fn)(init_rng, f0, n0)
         self.params = variables["params"]
         self.opt_state = self.optimizer.init(self.params)
 

@@ -70,6 +70,22 @@ def save_checkpoint(
     return path
 
 
+def _fsync_dir(path: str):
+    """fsync the directory so the os.replace RENAME itself is durable: file
+    fsync alone guarantees old-or-new content, but after a power loss the
+    directory entry may still point at the previous checkpoint (ADVICE r3).
+    Best-effort — not every fs allows O_RDONLY dir fsync."""
+    try:
+        fd = os.open(os.path.dirname(os.path.abspath(path)) or ".",
+                     os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+    except OSError:
+        pass
+
+
 def _atomic_write_bytes(path: str, data: bytes):
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -79,6 +95,7 @@ def _atomic_write_bytes(path: str, data: bytes):
         # or a machine crash can persist the rename over unwritten blocks
         # (ext4 delayed allocation) — a zero-length "latest" checkpoint
     os.replace(tmp, path)
+    _fsync_dir(path)
 
 
 def _atomic_write_text(path: str, text: str):
@@ -88,6 +105,7 @@ def _atomic_write_text(path: str, text: str):
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+    _fsync_dir(path)
 
 
 def _atomic_symlink(target: str, link: str):
