@@ -16,6 +16,12 @@ two sparse-HRNet forwards + per-batch-element attention loops + backward;
 comparable ME workloads run 0.7-1.0 s/iter on V100, i.e. ~8-11 query
 shapes/sec. We use 10.0 shapes/sec as the baseline denominator, so
 vs_baseline >= 2.0 meets the >=2x-V100 north star.
+
+FULL AUDIT of this denominator, the infer /3 heuristic, the useful
+model-FLOP count (2.813 TF/train step at this protocol) and the resulting
+MFU (6.1% of v5e bf16 peak; why that is the measured floor for this
+gather-dominated workload): BENCH_AUDIT.md, reproducible via
+`python scripts/flop_audit.py`.
 """
 
 from __future__ import annotations
