@@ -1,0 +1,247 @@
+"""One-command real-data parity session (PARITY.md §§1-4 executable).
+
+The build environment is egress-blocked, so the published-checkpoint parity
+numbers (`MinkowskiNet/README.md:119-125`, `MID-FC/utils.py:112-117`) have
+never been *run*. This driver makes the first online session literally one
+command with PASS/FAIL output: point it at the downloaded checkpoints /
+feature dumps / PartNet root and it converts, evaluates, collects, and
+asserts every category against the published tables with the documented
+tolerances (PARITY.md §3).
+
+  python -m csn_tpu.tasks.parity_session \
+      --midfc_ckpts <dir with <Cat>/trained_layers.pth> \
+      --midfc_features <root with {train,test}/<Cat>/{fc_1,point_labels}> \
+      --knn_graphs <root with n_heads_{n}/<Cat>/{train,test}.npy> \
+      --mink_ckpts <dir with <Cat>/weights.pth> \
+      --partnet <PartNet h5 root> \
+      --out outputs/parity
+
+Either branch may be omitted (run what you have). `--expected_csv` /
+`--mink_expected_csv` (rows `category,part_iou[,tol]`) override the built-in
+tables — used by the synthetic rehearsal test and for asserting against a
+local re-eval of the reference. Exit code 0 iff every executed check passed.
+
+The shell wrapper `scripts/parity_session.sh` adds the checkpoint-download
+step (PARITY.md §1 step 1) in front.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+
+# Published MID-FC + CSA (n_heads=8, K=4) per-category part IoU
+# (`MID-FC/utils.py:112-117` final row; PARITY.md §3). Tolerance ±0.05: the
+# pretrained eval path is deterministic, anything beyond float noise is a
+# conversion/semantics bug.
+MIDFC_EXPECTED = {
+    "Bed": 52.25, "Bottle": 58.55, "Chair": 55.69, "Clock": 57.60,
+    "Dishwasher": 76.40, "Display": 91.39, "Door": 58.90,
+    "Earphone": 54.51, "Faucet": 65.20, "Knife": 62.16, "Lamp": 33.08,
+    "Microwave": 79.12, "Refrigerator": 64.00, "StorageFurniture": 62.88,
+    "Table": 45.92, "TrashCan": 66.85, "Vase": 69.90,
+}
+MIDFC_TOL = 0.05
+# Mink branch: the reference publishes only the 17-category AVERAGE part IoU
+# per model (BASELINE.md); per-category assertions need --mink_expected_csv
+# (e.g. from a local re-eval of the released checkpoints with the reference
+# code). Mean tolerance per PARITY.md §3.
+MINK_MEAN_EXPECTED = {"HRNetSeg3S": 48.0, "HRNetSimCSN3S_SSA": 48.7,
+                      "HRNetSimCSN3S": 49.9}
+MINK_MEAN_TOL = 0.3
+
+
+def _load_expected_csv(path):
+    out = {}
+    with open(path) as f:
+        for row in csv.reader(f):
+            if not row or row[0].strip().lower() in ("", "category"):
+                continue
+            tol = float(row[2]) if len(row) > 2 and row[2].strip() else None
+            out[row[0].strip()] = (float(row[1]), tol)
+    return out
+
+
+def _check(rows, expected, default_tol, label):
+    """rows: {cat: measured}; expected: {cat: val} or {cat: (val, tol)}."""
+    ok = True
+    for cat, got in rows.items():
+        exp = expected.get(cat)
+        if exp is None:
+            print(f"[{label}] {cat}: {got:.2f} (no expectation — recorded)")
+            continue
+        val, tol = exp if isinstance(exp, tuple) else (exp, None)
+        tol = default_tol if tol is None else tol
+        passed = abs(got - val) <= tol
+        ok &= passed
+        print(f"[{label}] {cat}: {got:.2f} vs {val:.2f} ±{tol}  "
+              f"{'PASS' if passed else 'FAIL'}")
+    return ok
+
+
+def run_midfc(args):
+    from csn_tpu.midfc import get_csa_pred
+    from csn_tpu.midfc.run_training import NAMES, SEG_NUM
+
+    expected = (_load_expected_csv(args.expected_csv)
+                if args.expected_csv else dict(MIDFC_EXPECTED))
+    cats = args.categories or [c for c in NAMES if c in expected]
+    rows = {}
+    for cat in cats:
+        n_cls = (SEG_NUM[NAMES.index(cat)] if cat in NAMES
+                 else args.num_classes)
+        ckpt_pth = os.path.join(args.midfc_ckpts, cat, "trained_layers.pth")
+        ckpt_msg = os.path.join(args.midfc_ckpts, cat,
+                                "trained_layers.msgpack")
+        argv = ["--data_root", args.midfc_features,
+                "--logs_dir", os.path.join(args.out, "midfc", cat),
+                "--partname", cat, "--num_classes", str(n_cls),
+                "--n_heads", str(args.n_heads), "--K", str(args.K),
+                "--chunk_size", str(args.chunk_size),
+                "--d_model", str(args.d_model),
+                "--num_points", str(args.num_points),
+                "--batch_size", str(args.batch_size)]
+        if os.path.exists(ckpt_msg):
+            argv += ["--msgpack_ckpt", ckpt_msg]
+        elif os.path.exists(ckpt_pth):
+            argv += ["--torch_ckpt", ckpt_pth]
+        else:
+            print(f"[midfc] {cat}: SKIP (no trained_layers.* under "
+                  f"{args.midfc_ckpts}/{cat})")
+            continue
+        if args.knn_graphs:
+            gd = os.path.join(args.knn_graphs, f"n_heads_{args.n_heads}",
+                              cat)
+            if os.path.exists(os.path.join(gd, "test.npy")):
+                argv += ["--knn_graph_dir", gd]
+        rows[cat] = get_csa_pred.main(argv) * 100.0
+    ok = _check(rows, expected, args.midfc_tol, "midfc")
+    if rows:
+        mean = sum(rows.values()) / len(rows)
+        print(f"[midfc] mean over {len(rows)} cats: {mean:.2f} "
+              f"(published 17-cat mean: 62.02)")
+    return ok, rows
+
+
+def run_mink(args):
+    from csn_tpu.data.partnet import CATEGORIES
+    from csn_tpu.tasks import collect_partnet_results, main_csn
+
+    expected = (_load_expected_csv(args.mink_expected_csv)
+                if args.mink_expected_csv else {})
+    cats = args.categories or [
+        c for c in CATEGORIES
+        if os.path.isdir(os.path.join(args.mink_ckpts, c))]
+    rows = {}
+    for cat in cats:
+        ckpt = None
+        for name in ("weights.pth", "weights.msgpack"):
+            p = os.path.join(args.mink_ckpts, cat, name)
+            if os.path.exists(p):
+                ckpt = p
+                break
+        if ckpt is None:
+            print(f"[mink] {cat}: SKIP (no weights.* under "
+                  f"{args.mink_ckpts}/{cat})")
+            continue
+        pred_dir = os.path.join(args.out, "mink", cat, "results")
+        argv = ["--is_train", "False", "--weights", ckpt,
+                "--partnet_path", args.partnet, "--partnet_category", cat,
+                "--model", args.model, "--k_neighbors",
+                str(args.k_neighbors), "--batch_size",
+                str(args.batch_size_mink), "--test_batch_size",
+                str(args.batch_size_mink), "--save_pred_dir", pred_dir,
+                "--log_dir", os.path.join(args.out, "mink", cat, "logs")]
+        argv += args.mink_extra
+        res = main_csn.main(argv)
+        rows[cat] = float(res[2])  # part IoU
+    ok = _check(rows, expected, args.mink_tol, "mink")
+    if rows:
+        # collect step (PARITY.md §2): the reference's spreadsheet rows
+        collect_partnet_results.main(
+            ["--results_root", os.path.join(args.out, "mink")])
+        mean = sum(rows.values()) / len(rows)
+        target = MINK_MEAN_EXPECTED.get(args.model)
+        if len(rows) == len(CATEGORIES) and target is not None:
+            passed = abs(mean - target) <= args.mink_mean_tol
+            ok &= passed
+            print(f"[mink] 17-cat mean part IoU: {mean:.2f} vs published "
+                  f"{target} ±{args.mink_mean_tol}  "
+                  f"{'PASS' if passed else 'FAIL'}")
+        else:
+            print(f"[mink] mean over {len(rows)} cats: {mean:.2f} "
+                  f"(17-cat published mean for {args.model}: {target})")
+    return ok, rows
+
+
+def main(argv=None):
+    from csn_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--midfc_ckpts", default="",
+                    help="dir with <Cat>/trained_layers.{pth,msgpack}")
+    ap.add_argument("--midfc_features", default="",
+                    help="root with {train,test}/<Cat>/{fc_1,point_labels}")
+    ap.add_argument("--knn_graphs", default="",
+                    help="root with n_heads_{n}/<Cat>/{train,test}.npy")
+    ap.add_argument("--mink_ckpts", default="",
+                    help="dir with <Cat>/weights.{pth,msgpack}")
+    ap.add_argument("--partnet", default="", help="PartNet h5 root")
+    ap.add_argument("--out", default="outputs/parity")
+    ap.add_argument("--categories", default="",
+                    help="comma-separated subset (default: all published)")
+    ap.add_argument("--expected_csv", default="",
+                    help="override the MID-FC table: category,iou[,tol]")
+    ap.add_argument("--mink_expected_csv", default="",
+                    help="per-category Mink expectations: category,iou[,tol]")
+    # MID-FC protocol (PARITY.md §1 exactness requirements are get_csa_pred
+    # defaults: chunk 500, f32, no flash)
+    ap.add_argument("--n_heads", type=int, default=8)
+    ap.add_argument("--K", type=int, default=4)
+    ap.add_argument("--chunk_size", type=int, default=500)
+    ap.add_argument("--d_model", type=int, default=256)
+    ap.add_argument("--num_points", type=int, default=10000)
+    ap.add_argument("--num_classes", type=int, default=39,
+                    help="fallback for categories outside the built-in table")
+    ap.add_argument("--batch_size", type=int, default=1)
+    ap.add_argument("--midfc_tol", type=float, default=MIDFC_TOL)
+    # Mink protocol
+    ap.add_argument("--model", default="HRNetSimCSN3S")
+    ap.add_argument("--k_neighbors", type=int, default=1)
+    ap.add_argument("--batch_size_mink", type=int, default=8)
+    ap.add_argument("--mink_tol", type=float, default=0.3)
+    ap.add_argument("--mink_mean_tol", type=float, default=MINK_MEAN_TOL)
+    ap.add_argument("--mink_extra", nargs=argparse.REMAINDER, default=[],
+                    help="extra flags passed through to main_csn eval")
+    args = ap.parse_args(argv)
+    args.categories = [c for c in args.categories.split(",") if c]
+    os.makedirs(args.out, exist_ok=True)
+
+    all_ok, report = True, {}
+    if args.midfc_ckpts:
+        ok, rows = run_midfc(args)
+        all_ok &= ok
+        report.update({("midfc", c): v for c, v in rows.items()})
+    if args.mink_ckpts and args.partnet:
+        ok, rows = run_mink(args)
+        all_ok &= ok
+        report.update({("mink", c): v for c, v in rows.items()})
+    if not report:
+        print("nothing to run: pass --midfc_ckpts and/or "
+              "--mink_ckpts + --partnet", file=sys.stderr)
+        return 2
+
+    with open(os.path.join(args.out, "parity_report.csv"), "w") as f:
+        f.write("branch,category,part_iou\n")
+        for (br, cat), v in sorted(report.items()):
+            f.write(f"{br},{cat},{v:.4f}\n")
+    print(f"-> {os.path.join(args.out, 'parity_report.csv')}")
+    print("PARITY SESSION: " + ("PASS" if all_ok else "FAIL"))
+    return 0 if all_ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

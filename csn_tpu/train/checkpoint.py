@@ -116,10 +116,16 @@ def _atomic_symlink(target: str, link: str):
     os.replace(tmp, link)
 
 
-def load_checkpoint(path: str, tree_template: Dict[str, Any]):
-    """Returns (tree_state, host_state)."""
+def load_checkpoint(path: str, tree_template: Dict[str, Any],
+                    require_host: bool = True):
+    """Returns (tree_state, host_state). `require_host=False` for
+    weights-only loads (`--weights foo.msgpack`): a bare msgpack shared
+    without its `.json` host-state sidecar is a legitimate artifact there,
+    while resume paths keep failing loudly on a missing sidecar."""
     with open(path, "rb") as f:
         tree_state = serialization.from_bytes(tree_template, f.read())
-    with open(path + ".json") as f:
-        host_state = json.load(f)
+    host_state: Dict[str, Any] = {}
+    if require_host or os.path.exists(path + ".json"):
+        with open(path + ".json") as f:
+            host_state = json.load(f)
     return tree_state, host_state

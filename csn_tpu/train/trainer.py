@@ -260,7 +260,8 @@ class BaseTrainer:
                     k_neighbors=self.config.k_neighbors)
             else:
                 tree, _ = load_checkpoint(self.config.weights,
-                                          self._tree_state())
+                                          self._tree_state(),
+                                          require_host=False)
                 self.params = tree["params"]
                 self.batch_stats = tree["batch_stats"]
             logging.info("===> Loaded weights from %s", self.config.weights)
