@@ -380,9 +380,12 @@ def train_ssa(cfg: MidfcConfig, train_ds: FeaturesDataset,
 
 def train_csa(cfg: MidfcConfig, train_root: str, test_root: str,
               train_knn_graph: np.ndarray, test_knn_graph: np.ndarray,
-              ssa_params_path: Optional[str] = None) -> Tuple[float, str]:
+              ssa_params_path: Optional[str] = None,
+              history: Optional[list] = None) -> Tuple[float, str]:
     """`csa_training.py:261-387`: two 24-epoch phases with a graph rebuild in
-    between. Returns (best IoU, checkpoint path)."""
+    between. Returns (best IoU, checkpoint path). `history`, when given,
+    collects one dict per epoch (phase/epoch/train_loss/val_loss/val_iou) —
+    trajectory-level evidence for the convergence soak."""
     runner = MidfcRunner(cfg, "csa")
     train_plain = FeaturesDataset(train_root, cfg.num_points)
     test_plain = FeaturesDataset(test_root, cfg.num_points)
@@ -416,13 +419,18 @@ def train_csa(cfg: MidfcConfig, train_root: str, test_root: str,
     df_path = os.path.join(cfg.logs_dir, "test_summaries.csv")
     best_iou = 0.0
 
-    def phase(csa_train, csa_test, best_iou):
+    def phase(csa_train, csa_test, best_iou, phase_idx=0):
         runner.lr = cfg.lr
         runner.opt_state = runner.optimizer.init(runner.params)
         T = 24
         for t in range(T):
             train_loss = runner.train_epoch(csa_train, is_csa=True)
             val_iou, val_loss = runner.validate(csa_test, is_csa=True)
+            if history is not None:
+                history.append(dict(phase=phase_idx, epoch=t,
+                                    train_loss=float(train_loss),
+                                    val_loss=float(val_loss),
+                                    val_iou=float(val_iou)))
             logging.info("iter: %d/%d train_loss: %g val_loss: %g "
                          "val_IoU: %g best_IoU: %g", t + 1, T, train_loss,
                          val_loss, val_iou * 100, best_iou)
@@ -437,7 +445,7 @@ def train_csa(cfg: MidfcConfig, train_root: str, test_root: str,
                 break
         return best_iou
 
-    best_iou = phase(csa_train, csa_test, best_iou)
+    best_iou = phase(csa_train, csa_test, best_iou, phase_idx=0)
 
     # reload best, rebuild graph, phase 2 (`csa_training.py:341-376`)
     runner.params = load_params(runner.params, save_name)
@@ -449,7 +457,7 @@ def train_csa(cfg: MidfcConfig, train_root: str, test_root: str,
     csa_test = CSAFeaturesDataset(test_root, train_root, te_graph, cfg.K,
                                   cfg.num_points, same_collection=False)
     logging.info("KNN graph UPDATED!")
-    best_iou = phase(csa_train, csa_test, best_iou)
+    best_iou = phase(csa_train, csa_test, best_iou, phase_idx=1)
 
     runner.params = load_params(runner.params, save_name)
     val_iou, _ = runner.validate(csa_test, is_csa=True)
