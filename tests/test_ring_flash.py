@@ -11,9 +11,19 @@ import contextlib
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 from jax.sharding import PartitionSpec as P
 
 from csn_tpu.parallel.midfc import make_midfc_mesh
+
+# These are VIRTUAL-CPU-MESH tests (interpret-mode Pallas over a 4-device
+# ring); under RUN_TPU_TESTS=1 the backend is the single real TPU chip, where
+# the multi-hop mesh cannot exist — the single-chip ring-flash hardware
+# coverage lives in tests/test_flash_tpu.py instead.
+needs_4_devices = pytest.mark.skipif(
+    len(jax.devices()) < 4,
+    reason="needs a 4-device (virtual CPU) mesh; single-chip ring-flash "
+           "hardware coverage lives in tests/test_flash_tpu.py")
 
 
 @contextlib.contextmanager
@@ -59,6 +69,7 @@ def _sharded_ring_flash(mesh, temperature=None):
         out_specs=P(None, None, "seq", None), check_vma=False)
 
 
+@needs_4_devices
 def test_ring_flash_matches_dense_and_online():
     """4-hop flash ring == dense full attention == online ring (dropout=0),
     with a nontrivial kv mask traveling the ring."""
@@ -85,6 +96,7 @@ def test_ring_flash_matches_dense_and_online():
                                rtol=2e-2, atol=2e-2)
 
 
+@needs_4_devices
 def test_ring_flash_grads_match_dense():
     """q, k AND v gradients through the flash ring (the k/v cotangents ride
     the ring home through n extra ppermutes): TIGHT parity vs plain
@@ -129,6 +141,7 @@ def test_ring_flash_grads_match_dense():
                                    atol=8e-2)
 
 
+@needs_4_devices
 def test_ring_flash_single_chip_equals_flash():
     """n=1 ring (no hops) must equal plain flash_attention bit-for-bit-ish:
     same kernels, normalization moved from kernel finalize to XLA."""
@@ -142,6 +155,7 @@ def test_ring_flash_single_chip_equals_flash():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
 
 
+@needs_4_devices
 def test_ring_flash_model_integration():
     """CrossShapeAt with chunk_size=None + seq sharding + use_flash=True
     routes MultiHeadAttention through ring_flash_attention and still matches
