@@ -22,6 +22,15 @@ from csn_tpu.core.window_conv import align_for_map, window_for_map, \
     window_jobs
 
 
+# The DP/CP shard_map trace tests need the 8-device VIRTUAL CPU mesh; under
+# RUN_TPU_TESTS=1 the backend is the single real TPU chip, where the mesh
+# cannot exist (the hardware numerics of the same kernels live in
+# tests/test_flash_tpu.py, and the multi-chip shardings in dryrun_multichip).
+needs_8_devices = pytest.mark.skipif(
+    len(jax.devices()) < 8,
+    reason="needs the 8-device virtual CPU mesh")
+
+
 @pytest.fixture(scope="module")
 def geom():
     rng = np.random.default_rng(7)
@@ -168,6 +177,7 @@ def test_grad_traces_full_csn_step_tpu_default_config():
     assert chex_tree(grads) == chex_tree(params)
 
 
+@needs_8_devices
 def test_grad_traces_dp_steps_with_windowed_batches():
     """--data_parallel N with windowed batches: the shard_map DP steps had
     never been traced with win! worklists (dryrun_multichip runs on CPU
@@ -243,6 +253,7 @@ def test_grad_traces_dp_steps_with_windowed_batches():
     assert l3.shape == (n_dev,) and pred3.shape == (n_dev, B, P)
 
 
+@needs_8_devices
 def test_grad_traces_cp_steps_with_windowed_batches():
     """--collection_parallel with windowed batches: like the DP trace test,
     the CP steps (parallel/cp.py, cp_forward's collectives + the Pallas
