@@ -22,7 +22,7 @@ from __future__ import annotations
 import logging
 import os
 import os.path as osp
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -43,6 +43,33 @@ from csn_tpu.utils.logging import MetricsWriter
 from csn_tpu.utils.timer import AverageMeter, Timer
 
 
+def truncated_batch_size(point_counts: Sequence[int],
+                         limit_numpoints: int) -> int:
+    """Collate-time batch truncation rule (`lib/transforms.py:126-136`,
+    oracle-pinned by tests/test_reference_oracle_mink_data.py): shapes are
+    kept in order until the cumulative point count exceeds the limit; the
+    shape that overflows and everything after it are dropped. Divergence: the
+    reference would drop even the FIRST shape (and then crash collating an
+    empty batch), so we keep at least one (j > 0 guard)."""
+    if not limit_numpoints or limit_numpoints <= 0:
+        return len(point_counts)
+    tot = 0
+    for j, p in enumerate(point_counts):
+        tot += int(p)
+        if tot > limit_numpoints and j > 0:
+            return j
+    return len(point_counts)
+
+
+def neighbor_slot_indices(neighbors, idxs: Sequence[int],
+                          K: int) -> List[List[int]]:
+    """Slot-major neighbor layout (`lib/csn_utils.py:114-130 get_neighbors`,
+    oracle-pinned): slot k holds the k-th neighbor of every query, in query
+    order, so the K neighbor batches line up row-for-row with the query
+    batch."""
+    return [[neighbors[i][1][k] for i in idxs] for k in range(K)]
+
+
 def build_batch_from_dataset(dataset, indices: Sequence[int],
                              spec: PyramidSpec,
                              rng: np.random.Generator,
@@ -56,12 +83,9 @@ def build_batch_from_dataset(dataset, indices: Sequence[int],
     shapes = [dataset.get(i, rng=rng, augment=augment) for i in indices]
     batch = build_voxel_batch(shapes, spec, rng=rng)
     if limit_numpoints > 0:
-        tot, kept = 0, len(shapes)
-        for j, (c, _, _) in enumerate(shapes):
-            tot += int(c.shape[0])
-            if tot > limit_numpoints and j > 0:
-                kept = j
-                break
+        tot = sum(int(c.shape[0]) for c, _, _ in shapes)
+        kept = truncated_batch_size([c.shape[0] for c, _, _ in shapes],
+                                    limit_numpoints)
         if kept < len(shapes):
             logging.warning(
                 "\tCannot fit %d points into %d points limit. Truncating "
@@ -287,8 +311,8 @@ class BaseTrainer:
             from concurrent.futures import ThreadPoolExecutor
 
             rngs = rng.spawn(1 + self.K)
-            nbr_idxs = [[self.train_dataset.neighbors[i][1][k] for i in idxs]
-                        for k in range(self.K)]
+            nbr_idxs = neighbor_slot_indices(self.train_dataset.neighbors,
+                                             idxs, self.K)
             with ThreadPoolExecutor(max_workers=1 + self.K) as ex:
                 fq = ex.submit(build_batch_from_dataset, self.train_dataset,
                                idxs, self.spec, rngs[0], augment,
@@ -742,9 +766,9 @@ class CSNTrainer(BaseTrainer):
         if self.K <= 0:
             return ()
         keys = []
+        slots = neighbor_slot_indices(dataset.neighbors, idxs, self.K)
         for i in range(self.K):
-            nbr_idxs = [dataset.neighbors[idx][1][i] for idx in idxs]
-            kb = build_batch_from_dataset(self.train_dataset, nbr_idxs,
+            kb = build_batch_from_dataset(self.train_dataset, slots[i],
                                           self.spec, self.rng, augment=False)
             keys.append(kb.to_jax())
         return tuple(keys)
