@@ -68,9 +68,15 @@ class _WriterStub:
 
 @pytest.fixture(scope="module")
 def ref():
-    _ensure_stub("MinkowskiEngine", TensorField=object,
-                 utils=types.SimpleNamespace(sparse_collate=None))
-    _ensure_stub("MinkowskiEngine.utils", sparse_collate=None)
+    # install the FUNCTIONAL ME stub (shared with the data-path oracle) so
+    # module run order cannot leave a broken stub behind for those tests
+    from tests.test_reference_oracle_mink_data import (
+        _TensorFieldStub, _sparse_collate_stub,
+    )
+    _ensure_stub("MinkowskiEngine", TensorField=_TensorFieldStub,
+                 utils=types.SimpleNamespace(
+                     sparse_collate=_sparse_collate_stub))
+    _ensure_stub("MinkowskiEngine.utils", sparse_collate=_sparse_collate_stub)
     try:
         import tensorboardX  # noqa: F401
     except ImportError:  # pragma: no cover
