@@ -79,6 +79,13 @@ class _SD:
                                        "var": self.a(name +
                                                      ".bn.running_var")}})
 
+    def bias(self, name: str) -> np.ndarray:
+        """Conv bias as a flax-style 1-D vector. ME 0.5.x stores
+        MinkowskiConvolution bias as `[1, out]`; accept that and the plain
+        `[out]` layout."""
+        b = self.a(name + ".bias")
+        return b.reshape(-1)
+
     def unused(self):
         return sorted(set(self.sd) - self.used)
 
@@ -152,7 +159,7 @@ def convert_mink_state_dict(
 
     if csn_head:
         params["fc1"] = {"Dense_0": {"kernel": v.conv("fc_layer.0"),
-                                     "bias": v.a("fc_layer.0.bias")}}
+                                     "bias": v.bias("fc_layer.0")}}
         params["fc1_norm"], stats["fc1_norm"] = v.bn("fc_layer.1")
         params["mha"] = {
             "w_qs": {"kernel": _t(v.a("MHA.w_qs.weight"))},
@@ -163,16 +170,16 @@ def convert_mink_state_dict(
                             "bias": v.a("MHA.norm.bias")},
         }
         params["out_head"] = {"Dense_0": {"kernel": v.conv("output"),
-                                          "bias": v.a("output.bias")}}
+                                          "bias": v.bias("output")}}
         if k_neighbors > 0:
             params["linear_q"] = {"kernel": _t(v.a("linear_q.weight"))}
             params["linear_k"] = {"kernel": _t(v.a("linear_k.weight"))}
     else:  # HRNetSeg head: final = Sequential [fc1, bn, relu, fc2]
         params["fc1"] = {"Dense_0": {"kernel": v.conv("final.0"),
-                                     "bias": v.a("final.0.bias")}}
+                                     "bias": v.bias("final.0")}}
         params["fc1_norm"], stats["fc1_norm"] = v.bn("final.1")
         params["fc2"] = {"Dense_0": {"kernel": v.conv("final.3"),
-                                     "bias": v.a("final.3.bias")}}
+                                     "bias": v.bias("final.3")}}
 
     convert_mink_state_dict.unused = v.unused()
     return params, stats

@@ -604,3 +604,59 @@ def test_dataset_label_map_with_ignored_labels(ref_ds, synth_root):
     expect = np.array([label_map[x] for x in raw])
     np.testing.assert_array_equal(rl, expect)
     assert (rl == 255).sum() == (raw == 1).sum()
+
+
+# ---------------------------------------------------------------------------
+# results collection (lib/collect_partnet_results.py)
+# ---------------------------------------------------------------------------
+
+def test_collect_partnet_results_matches_reference(tmp_path, monkeypatch,
+                                                   capsys):
+    """The REAL `lib/collect_partnet_results.py main()` run on a synthetic
+    17-category experiment tree (the testing_csn.sh layout:
+    `<base>/<Cat>-k1-*/..._evaluation/results/results_log.txt`) must extract
+    the same per-category Part/Shape IoU values, in the same order, as our
+    `tasks/collect_partnet_results.py` — including the `-k{K}-` directory
+    filter and the last-token line parse of the files OUR test_on writes."""
+    import importlib
+    from csn_tpu.data.partnet import CATEGORIES
+    from csn_tpu.tasks import collect_partnet_results as ours
+
+    sys.path.insert(0, REF_ROOT)
+    try:
+        ref_mod = importlib.import_module("lib.collect_partnet_results")
+    finally:
+        sys.path.remove(REF_ROOT)
+
+    rng = np.random.default_rng(12)
+    base = tmp_path / "experiments"
+    expect = {}
+    for cat in CATEGORIES:
+        s, p = round(float(rng.uniform(20, 80)), 2), \
+            round(float(rng.uniform(20, 80)), 2)
+        expect[cat] = (s, p)
+        d = base / f"{cat}-k1-run" / "test_evaluation" / "results"
+        os.makedirs(d)
+        # the exact file our test_on(save_pred_dir=...) writes
+        (d / "results_log.txt").write_text(
+            f"Shape IoU: {s}\nPart IoU: {p}\n")
+    # a decoy run that the -k1- filter must exclude
+    d = base / "Chair-k2-run" / "test_evaluation" / "results"
+    os.makedirs(d)
+    (d / "results_log.txt").write_text("Shape IoU: 1.0\nPart IoU: 1.0\n")
+
+    monkeypatch.setattr(sys, "argv",
+                        ["collect_partnet_results.py", str(base), "1"])
+    ref_mod.main()
+    out = capsys.readouterr().out
+    ref_part = eval(out.split("PART IOU:")[1].splitlines()[2])
+    ref_shape = eval(out.split("SHAPE IOU:")[1].splitlines()[2])
+
+    rows = ours.main(["--results_root", str(base),
+                      "--pattern", "{cat}-k1-*/*evaluation/results/"
+                                   "results_log.txt"])
+    capsys.readouterr()
+    assert [p for _, _, p in rows] == ref_part
+    assert [s for _, s, _ in rows] == ref_shape
+    # the order both sides produce is the sorted category order
+    assert ref_part == [expect[c][1] for c in CATEGORIES]
