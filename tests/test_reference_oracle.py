@@ -421,3 +421,88 @@ def test_full_chain_torch_train_then_our_eval(ref, ref_train_fns, tmp_path):
     ]))
 
     assert abs(iou_ours - iou_ref) < 2e-4, (iou_ours, iou_ref)
+
+
+@pytest.fixture(scope="module")
+def ref_ssa_fns():
+    """Exec the REAL `ssa_training.py` train/validate loops (the module-level
+    script is blocked only by its torchvision import and argparse; the
+    function bodies ast-extracted here run verbatim). They DIFFER from
+    csa_training's (no neighbor plumbing), so the SSA phase gets its own
+    oracle."""
+    src = open(os.path.join(REF_ROOT, "ssa_training.py")).read()
+    tree = ast.parse(src)
+    wanted = {"label_accuracy", "softmax_accuracy", "softmax_loss",
+              "loss_functions_seg", "IoU_per_shape", "train_layers",
+              "validate_layers"}
+    mod = ast.Module(
+        body=[n for n in tree.body
+              if isinstance(n, ast.FunctionDef) and n.name in wanted],
+        type_ignores=[])
+    ast.fix_missing_locations(mod)
+    args = types.SimpleNamespace(num_classes=NUM_CLASSES,
+                                 gradient_accumulation_steps=2,
+                                 testing=False)
+    ns = {"torch": torch, "nn": torch.nn, "F": torch.nn.functional,
+          "np": np, "args": args}
+    exec(compile(mod, "ssa_training_defs", "exec"), ns)
+    assert wanted <= set(ns), "reference function extraction failed"
+    return types.SimpleNamespace(args=args, **{k: ns[k] for k in wanted})
+
+
+def test_full_chain_ssa_torch_train_then_our_eval(ref, ref_ssa_fns,
+                                                  tmp_path):
+    """SSA-phase full chain: the reference SSA model trained by the REAL
+    exec'd `ssa_training.py` loop (grad accumulation of 2 + remainder step,
+    NaN zeroing), then OUR converter + MidfcRunner.validate must reproduce
+    the reference `validate_layers` part IoU on the same test split."""
+    from csn_tpu.midfc.training import MidfcConfig, MidfcRunner
+
+    part = "Bottle"
+    train_root = str(tmp_path / "train" / part)
+    test_root = str(tmp_path / "test" / part)
+    _write_tree(train_root, 3, heights=[10000, 9990], channels=D, seed=60,
+                num_classes=NUM_CLASSES)
+    _write_tree(test_root, 2, heights=[9995], channels=D, seed=61,
+                num_classes=NUM_CLASSES)
+
+    torch.manual_seed(70)
+    model_t = ref.csa_models.get_model("ssa", NUM_CLASSES, n_heads=1)
+
+    tr_ref = _sort_ref_files(ref.data.FeaturesDataset(
+        train_root, "backbone_fc_ssa_logit"))
+    te_ref = _sort_ref_files(ref.data.FeaturesDataset(
+        test_root, "backbone_fc_ssa_logit"))
+
+    def loader(ds):
+        return [(f.unsqueeze(0), l.unsqueeze(0))
+                for f, l in (ds[i] for i in range(len(ds)))]
+
+    fns = ref_ssa_fns
+    opt = torch.optim.Adam(model_t.parameters(), lr=1e-3, betas=(0.5, 0.999),
+                           weight_decay=5e-4)
+    loss = fns.train_layers(model_t, loader(tr_ref), opt, None, NUM_CLASSES,
+                            5e-4, "cpu")
+    assert np.isfinite(loss)
+    iou_ref, _vloss = fns.validate_layers(model_t, loader(te_ref),
+                                          NUM_CLASSES, 5e-4, "cpu")
+    iou_ref = float(iou_ref)
+
+    cfg = MidfcConfig(
+        logs_dir=str(tmp_path / "logs"), partname=part,
+        num_classes=NUM_CLASSES, n_heads=1, K=1, batch_size=1,
+        chunk_size=500, d_model=D, num_points=P,
+        compute_dtype="float32", use_flash=False)
+    runner = MidfcRunner(cfg, "ssa")
+    from csn_tpu.midfc.data import FeaturesDataset as OurFD
+
+    test_ds = OurFD(test_root, cfg.num_points)
+    f0, _, _ = next(iter(test_ds.batches(cfg.batch_size)))
+    runner.initialize(f0)
+    merged = dict(runner.params)
+    merged.update(_converted(model_t))
+    runner.params = merged
+
+    iou_ours, loss_ours = runner.validate(test_ds, is_csa=False)
+    assert np.isfinite(loss_ours)
+    assert abs(iou_ours - iou_ref) < 2e-4, (iou_ours, iou_ref)
