@@ -210,3 +210,57 @@ def test_device_batched_iu_matches_reference_aggregation(ref):
         float(ref.utils.calculate_part_iou(ious_ref, num_labels)), rel=1e-12)
     assert shape == pytest.approx(
         float(ref.utils.calculate_shape_iou(ious_ref)), rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# config flag defaults vs lib/config.py
+# ---------------------------------------------------------------------------
+
+def test_config_defaults_match_reference():
+    """Every flag name shared with the reference's argparse table
+    (`lib/config.py:41-143`, pure argparse — imported directly) must carry
+    the same default, except the three documented PartNet-protocol pins
+    (values the reference's own launch scripts pass explicitly,
+    `scripts/testing_csn.sh:48`, `scripts/train_csn.sh` $INPUT_FEAT): a
+    silent default drift in lr / bn_momentum / scheduler constants is the
+    kind of bug that shifts IoU without failing any unit test."""
+    import dataclasses
+
+    from csn_tpu.config import Config
+
+    sys.path.insert(0, REF_ROOT)
+    try:
+        from lib import config as ref_config
+    finally:
+        sys.path.remove(REF_ROOT)
+
+    # ours = the protocol value the reference scripts pass, not its argparse
+    # default (model: the flagship; input_feat/normalize_coords: PartNet)
+    EXPECTED_DIVERGENCES = {"model", "input_feat", "normalize_coords"}
+    # device/loader machinery we replace by design (TPU pipeline always
+    # prefetches; no CUDA/worker knobs)
+    REF_ONLY_OK = {
+        "color_offset", "empty_cache_freq", "is_cuda", "load_h5",
+        "load_path", "log_level", "log_step", "normalize_color",
+        "num_val_workers", "num_workers", "opt_speed", "prefetch_data",
+        "return_neighbors", "return_transformation", "save_freq", "val_freq",
+    }
+
+    ours = Config()
+    our_fields = {f.name for f in dataclasses.fields(Config)}
+    ref_defaults = vars(ref_config.parser.parse_args([]))
+
+    mismatched, ref_only = [], []
+    for name, ref_val in sorted(ref_defaults.items()):
+        if name not in our_fields:
+            ref_only.append(name)
+            continue
+        if name in EXPECTED_DIVERGENCES:
+            continue
+        our_val = getattr(ours, name)
+        if our_val != ref_val:
+            mismatched.append((name, ref_val, our_val))
+    assert mismatched == [], mismatched
+    assert set(ref_only) <= REF_ONLY_OK, sorted(set(ref_only) - REF_ONLY_OK)
+    # the shared surface is the bulk of the table, not a handful of flags
+    assert len(set(ref_defaults) & our_fields) >= 55

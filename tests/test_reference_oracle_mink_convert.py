@@ -271,3 +271,47 @@ def test_trainer_weights_path_loads_real_reference_pth(ref_models, tmp_path,
     trainer.construct_shape_graph(recalculate=False)  # random-pair graph
     loss, score, part_iou, shape_iou = trainer.validate()
     assert np.isfinite([loss, score, part_iou, shape_iou]).all()
+
+
+def test_mha_forward_matches_reference(ref_models):
+    """Numeric forward parity of our post-norm residual MHA
+    (`csn_tpu/ops/attention.py MultiHeadAttention`) against the REAL
+    `models/attention.py MultiHeadAttention` (pure torch — imported, not
+    mirrored) on shared random weights: pins the head reshape/transpose
+    convention, the 1/sqrt(d_k) placement, the residual-then-LayerNorm
+    order, and the bias-free projections. Both dense and online (blocked)
+    attention impls must agree with torch eval mode."""
+    import jax.numpy as jnp
+
+    from csn_tpu.ops.attention import MultiHeadAttention as OurMHA
+
+    torch.manual_seed(3)
+    n_head, d_model, d_k, d_v = 2, 16, 8, 8
+    ref_mha = ref_models.models.hrnet.MultiHeadAttention(
+        n_head, d_model, d_k, d_v)
+    ref_mha.eval()
+
+    b, lq, lk = 2, 7, 9
+    q_t = torch.randn(b, lq, d_model)
+    k_t = torch.randn(b, lk, d_model)
+    v_t = torch.randn(b, lk, d_model)
+    with torch.no_grad():
+        out_ref, attn_ref = ref_mha(q_t, k_t, v_t)
+
+    sd = {k: v.numpy() for k, v in ref_mha.state_dict().items()}
+    params = {
+        "w_qs": {"kernel": sd["w_qs.weight"].T},
+        "w_ks": {"kernel": sd["w_ks.weight"].T},
+        "w_vs": {"kernel": sd["w_vs.weight"].T},
+        "fc": {"kernel": sd["fc.weight"].T},
+        "LayerNorm_0": {"scale": sd["norm.weight"],
+                        "bias": sd["norm.bias"]},
+    }
+    for impl in ("dense", "online"):
+        ours = OurMHA(n_head=n_head, d_model=d_model, d_k=d_k, d_v=d_v,
+                      attn_impl=impl, kv_block=4)
+        out = ours.apply({"params": params}, jnp.asarray(q_t.numpy()),
+                         jnp.asarray(k_t.numpy()), jnp.asarray(v_t.numpy()),
+                         train=False)
+        np.testing.assert_allclose(np.asarray(out), out_ref.numpy(),
+                                   atol=2e-5, rtol=1e-5), impl
