@@ -185,6 +185,117 @@ def convert_mink_state_dict(
     return params, stats
 
 
+def _convert_block(v: _SD, base: str) -> Tuple[Dict, Dict]:
+    """One residual block (`modules/resnet_block.py`): BasicBlock
+    (conv1/norm1/conv2/norm2 [+ downsample]) or Bottleneck
+    (conv1..conv3/norm1..norm3 [+ downsample], k1-k3-k1), mapped onto the
+    flax names of `csn_tpu/models/blocks.py` (nn.compact auto-numbering:
+    SparseConv_N for k3, Conv1x1_N/Dense_0 for k1, Norm_N, with the
+    channel-mismatch projection last)."""
+    p: Dict = {}
+    s: Dict = {}
+    bottleneck = (base + ".conv3.kernel") in v.sd
+    if bottleneck:
+        p["Conv1x1_0"] = {"Dense_0": {"kernel": v.conv(base + ".conv1")}}
+        p["Norm_0"], s["Norm_0"] = v.bn(base + ".norm1")
+        p["SparseConv_0"] = {"kernel": v.conv(base + ".conv2")}
+        p["Norm_1"], s["Norm_1"] = v.bn(base + ".norm2")
+        p["Conv1x1_1"] = {"Dense_0": {"kernel": v.conv(base + ".conv3")}}
+        p["Norm_2"], s["Norm_2"] = v.bn(base + ".norm3")
+        proj_conv, proj_norm = "Conv1x1_2", "Norm_3"
+    else:
+        p["SparseConv_0"] = {"kernel": v.conv(base + ".conv1")}
+        p["Norm_0"], s["Norm_0"] = v.bn(base + ".norm1")
+        p["SparseConv_1"] = {"kernel": v.conv(base + ".conv2")}
+        p["Norm_1"], s["Norm_1"] = v.bn(base + ".norm2")
+        proj_conv, proj_norm = "Conv1x1_0", "Norm_2"
+    if (base + ".downsample.0.kernel") in v.sd:
+        p[proj_conv] = {"Dense_0": {"kernel": v.conv(base + ".downsample.0")}}
+        p[proj_norm], s[proj_norm] = v.bn(base + ".downsample.1")
+    return p, s
+
+
+def _block_count(sd: Dict, name: str) -> int:
+    n = 0
+    while any(k.startswith(f"{name}.{n}.") for k in sd):
+        n += 1
+    return n
+
+
+def convert_res16unet_state_dict(
+    sd: Dict, *, offset_order: str = "xyz",
+) -> Tuple[Dict, Dict]:
+    """Convert a reference Res16UNet* state_dict (`models/res16unet.py`:
+    stem conv0p1s1/bn0, four k2/s2 down convs conv{1-4}p*s2/bn{1-4} with
+    residual stages block{1-4}, four k2/s2 transposes convtr{4-7}p*s2/
+    bntr{4-7} with skip-concat stages block{5-8}, final k1 head) onto
+    `csn_tpu/models/res16unet.py` trees."""
+    v = _SD(sd, offset_order)
+    params: Dict = {"conv0": {"kernel": v.conv("conv0p1s1")}}
+    stats: Dict = {}
+    params["norm0"], stats["norm0"] = v.bn("bn0")
+    tr_names = ["convtr4p16s2", "convtr5p8s2", "convtr6p4s2", "convtr7p2s2"]
+    for l in range(4):
+        params[f"down_convs_{l}"] = {
+            "kernel": v.conv(f"conv{l + 1}p{2 ** l}s2")}
+        params[f"down_norms_{l}"], stats[f"down_norms_{l}"] = v.bn(
+            f"bn{l + 1}")
+        params[f"up_convs_{l}"] = {"kernel": v.conv(tr_names[l])}
+        params[f"up_norms_{l}"], stats[f"up_norms_{l}"] = v.bn(f"bntr{l + 4}")
+        for b in range(_block_count(v.sd, f"block{l + 1}")):
+            params[f"enc_blocks_{l}_{b}"], stats[f"enc_blocks_{l}_{b}"] = \
+                _convert_block(v, f"block{l + 1}.{b}")
+        for b in range(_block_count(v.sd, f"block{l + 5}")):
+            params[f"dec_blocks_{l}_{b}"], stats[f"dec_blocks_{l}_{b}"] = \
+                _convert_block(v, f"block{l + 5}.{b}")
+    params["final"] = {"Dense_0": {"kernel": v.conv("final"),
+                                   "bias": v.bias("final")}}
+    convert_res16unet_state_dict.unused = v.unused()
+    return params, stats
+
+
+def convert_resunet_state_dict(
+    sd: Dict, *, offset_order: str = "xyz",
+) -> Tuple[Dict, Dict]:
+    """Convert a reference ResUNet* / MinkUNetBase state_dict
+    (`models/resunet.py`: stem conv1p1s1/bn1 + block1 at level 0, three
+    k2/s2 downs conv{2-4}p*s2/bn{2-4} with stages block{2-4}, three k2/s2
+    transposes convtr{4-6}p*s2/bntr{4-6} with stages block{5-6}, 2-layer k1
+    head `final.{0,1,3}`) onto `csn_tpu/models/resunet.py` trees."""
+    v = _SD(sd, offset_order)
+    params: Dict = {"conv0": {"kernel": v.conv("conv1p1s1")}}
+    stats: Dict = {}
+    params["norm0"], stats["norm0"] = v.bn("bn1")
+    for b in range(_block_count(v.sd, "block1")):
+        params[f"block0_{b}"], stats[f"block0_{b}"] = _convert_block(
+            v, f"block1.{b}")
+    tr_names = ["convtr4p8s2", "convtr5p4s2", "convtr6p2s2"]
+    for l in range(3):
+        params[f"down_convs_{l}"] = {
+            "kernel": v.conv(f"conv{l + 2}p{2 ** l}s2")}
+        params[f"down_norms_{l}"], stats[f"down_norms_{l}"] = v.bn(
+            f"bn{l + 2}")
+        params[f"up_convs_{l}"] = {"kernel": v.conv(tr_names[l])}
+        params[f"up_norms_{l}"], stats[f"up_norms_{l}"] = v.bn(f"bntr{l + 4}")
+        for b in range(_block_count(v.sd, f"block{l + 2}")):
+            params[f"enc_blocks_{l}_{b}"], stats[f"enc_blocks_{l}_{b}"] = \
+                _convert_block(v, f"block{l + 2}.{b}")
+        if l < 2:
+            for b in range(_block_count(v.sd, f"block{l + 5}")):
+                params[f"dec_blocks_{l}_{b}"], stats[f"dec_blocks_{l}_{b}"] \
+                    = _convert_block(v, f"block{l + 5}.{b}")
+    params["final_fc"] = {"Dense_0": {"kernel": v.conv("final.0"),
+                                      "bias": v.bias("final.0")}}
+    # final_norm is a bare MaskedBatchNorm (not a Norm wrapper), so unwrap
+    pn, sn = v.bn("final.1")
+    params["final_norm"] = pn["MaskedBatchNorm_0"]
+    stats["final_norm"] = sn["MaskedBatchNorm_0"]
+    params["final_out"] = {"Dense_0": {"kernel": v.conv("final.3"),
+                                       "bias": v.bias("final.3")}}
+    convert_resunet_state_dict.unused = v.unused()
+    return params, stats
+
+
 def load_mink_torch_checkpoint(path: str, num_stages: int, **kw):
     """Load a reference .pth (lib/utils.py checkpoint() format: dict with
     'state_dict') and convert."""

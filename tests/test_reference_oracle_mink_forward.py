@@ -423,6 +423,79 @@ def test_hrnet_simcsn_ssa_only_matches_reference(ref):
     _compare_rows(vb, out_ref, got, atol=2e-4)
 
 
+@pytest.mark.parametrize("name,seed", [("Res16UNet14", 50),
+                                       ("Res16UNet34C", 51)])
+def test_res16unet_forward_matches_reference(ref, name, seed):
+    """Full Res16UNet forward (`models/res16unet.py:170-229`): k5 stem, four
+    k2/s2 encoder convs + residual stages, four k2/s2 transposes with skip
+    concats consumed by channel-projecting blocks, k1 head — even-kernel ME
+    conv semantics (forward offsets {0..k-1}*s) included."""
+    me = _install_functional_me()
+    sys.path.insert(0, REF_ROOT)
+    try:
+        import models.res16unet as ref_r16
+    finally:
+        sys.path.remove(REF_ROOT)
+    from csn_tpu.models.convert import convert_res16unet_state_dict
+
+    cfg = types.SimpleNamespace(bn_momentum=0.02, conv1_kernel_size=5,
+                                dilations=(1, 1, 1, 1))
+    ref_model = getattr(ref_r16, name)(3, 5, cfg, D=3)
+    _randomize_for_forward(ref_model, seed)
+    ref_model.eval()
+
+    cls = load_model(name)
+    vb = _make_batch(cls, B=2, n=60, seed=seed, conv1_kernel_size=5)
+    st = _ref_input(vb, me)
+    with torch.no_grad():
+        out_ref = ref_model(st)
+    _assert_level_sets_match(vb, out_ref)
+
+    sd = {k: v.numpy() for k, v in ref_model.state_dict().items()}
+    params, stats = convert_res16unet_state_dict(sd)
+    assert convert_res16unet_state_dict.unused == []
+
+    ours = cls(out_channels=5, conv1_kernel_size=5)
+    got = jax.jit(lambda v, b: ours.apply(v, b, train=False))(
+        {"params": params, "batch_stats": stats}, vb.to_jax())
+    _compare_rows(vb, out_ref, got, atol=3e-4)
+
+
+def test_resunet_forward_matches_reference(ref):
+    """Full ResUNet forward (`models/resunet.py:145-190`): level-0 stage,
+    three k2/s2 downs, three transposes (the last concat feeds the head
+    directly), 2-layer k1 head with its own default-momentum BatchNorm."""
+    me = _install_functional_me()
+    sys.path.insert(0, REF_ROOT)
+    try:
+        import models.resunet as ref_ru
+    finally:
+        sys.path.remove(REF_ROOT)
+    from csn_tpu.models.convert import convert_resunet_state_dict
+
+    cfg = types.SimpleNamespace(bn_momentum=0.02, conv1_kernel_size=3,
+                                dilations=(1, 1, 1, 1))
+    ref_model = ref_ru.ResUNet14(3, 5, cfg, D=3)
+    _randomize_for_forward(ref_model, 60)
+    ref_model.eval()
+
+    cls = load_model("ResUNet14")
+    vb = _make_batch(cls, B=2, n=60, seed=60, conv1_kernel_size=3)
+    st = _ref_input(vb, me)
+    with torch.no_grad():
+        out_ref = ref_model(st)
+    _assert_level_sets_match(vb, out_ref)
+
+    sd = {k: v.numpy() for k, v in ref_model.state_dict().items()}
+    params, stats = convert_resunet_state_dict(sd)
+    assert convert_resunet_state_dict.unused == []
+
+    ours = cls(out_channels=5, conv1_kernel_size=3)
+    got = jax.jit(lambda v, b: ours.apply(v, b, train=False))(
+        {"params": params, "batch_stats": stats}, vb.to_jax())
+    _compare_rows(vb, out_ref, got, atol=3e-4)
+
+
 def test_reference_cosine_similarity_matches_retrieval_measure(ref):
     """`HRNetSimCSN.cosine_similarity` (`models/hrnet.py:472-490`) — the
     retrieval measure the CSN graph rebuild ranks neighbors by — vs our
