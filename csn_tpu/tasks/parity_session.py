@@ -64,9 +64,19 @@ def _load_expected_csv(path):
     return out
 
 
-def _check(rows, expected, default_tol, label):
-    """rows: {cat: measured}; expected: {cat: val} or {cat: (val, tol)}."""
+def _check(rows, expected, default_tol, label, planned=()):
+    """rows: {cat: measured}; expected: {cat: val} or {cat: (val, tol)}.
+
+    Every planned category must have produced a measurement: a checkpoint
+    or feature dump missing from the artifact tree is a FAIL, not a silent
+    skip — otherwise a partial download would print PASS while asserting
+    almost none of the published table."""
     ok = True
+    for cat in planned:
+        if cat not in rows:
+            ok = False
+            print(f"[{label}] {cat}: FAIL (planned but not measured — "
+                  f"missing artifacts; pass --categories to run a subset)")
     for cat, got in rows.items():
         exp = expected.get(cat)
         if exp is None:
@@ -87,7 +97,14 @@ def run_midfc(args):
 
     expected = (_load_expected_csv(args.expected_csv)
                 if args.expected_csv else dict(MIDFC_EXPECTED))
-    cats = args.categories or [c for c in NAMES if c in expected]
+    # every expected category is planned (NAMES order first; csv rows
+    # outside the built-in table still run via --num_classes). An explicit
+    # --categories list may span both branches, so the must-measure set is
+    # its intersection with THIS branch's expectation table.
+    cats = args.categories or (
+        [c for c in NAMES if c in expected]
+        + [c for c in expected if c not in NAMES])
+    planned = [c for c in cats if c in expected]
     rows = {}
     for cat in cats:
         n_cls = (SEG_NUM[NAMES.index(cat)] if cat in NAMES
@@ -117,7 +134,7 @@ def run_midfc(args):
             if os.path.exists(os.path.join(gd, "test.npy")):
                 argv += ["--knn_graph_dir", gd]
         rows[cat] = get_csa_pred.main(argv) * 100.0
-    ok = _check(rows, expected, args.midfc_tol, "midfc")
+    ok = _check(rows, expected, args.midfc_tol, "midfc", planned=planned)
     if rows:
         mean = sum(rows.values()) / len(rows)
         print(f"[midfc] mean over {len(rows)} cats: {mean:.2f} "
@@ -131,9 +148,24 @@ def run_mink(args):
 
     expected = (_load_expected_csv(args.mink_expected_csv)
                 if args.mink_expected_csv else {})
-    cats = args.categories or [
-        c for c in CATEGORIES
-        if os.path.isdir(os.path.join(args.mink_ckpts, c))]
+    # planned set (must produce a measurement, else FAIL): explicit subset
+    # (scoped to the expectation table when one exists — --categories may
+    # span both branches) > expectation-table rows > whatever checkpoint
+    # dirs exist (the reference publishes only the 17-cat mean, so a bare
+    # run measures what is there — but a category DIRECTORY without
+    # loadable weights is still a broken tree: FAIL)
+    if args.categories:
+        cats = args.categories
+        planned = ([c for c in cats if c in expected] if expected else
+                   list(cats))
+    elif expected:
+        cats = ([c for c in CATEGORIES if c in expected]
+                + [c for c in expected if c not in CATEGORIES])
+        planned = list(cats)
+    else:
+        cats = [c for c in CATEGORIES
+                if os.path.isdir(os.path.join(args.mink_ckpts, c))]
+        planned = list(cats)
     rows = {}
     for cat in cats:
         ckpt = None
@@ -157,7 +189,7 @@ def run_mink(args):
         argv += args.mink_extra
         res = main_csn.main(argv)
         rows[cat] = float(res[2])  # part IoU
-    ok = _check(rows, expected, args.mink_tol, "mink")
+    ok = _check(rows, expected, args.mink_tol, "mink", planned=planned)
     if rows:
         # collect step (PARITY.md §2): the reference's spreadsheet rows
         collect_partnet_results.main(

@@ -114,7 +114,8 @@ def executed_gather_macs(batches, conv_calls):
             if not name.startswith("win!") or "interp" in name:
                 continue
             mname = name[4:]
-            lvls = _map_levels_of(mname)
+            if _map_levels_of(mname) is None:  # same skip rule as
+                continue                       # count_pairs()
             n_out = vb.kmaps[mname].shape[1]
             n_tiles = -(-n_out // 256)
             njobs_by_map[mname] = njobs_by_map.get(mname, 0) \

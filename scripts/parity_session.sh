@@ -24,10 +24,17 @@ cd "$(dirname "$0")/.."
 MIDFC_CKPTS=${1:?usage: parity_session.sh <midfc_ckpts> <midfc_features> <partnet_root> [mink_ckpts] [knn_graphs] [out_dir]}
 MIDFC_FEATS=${2:?need <midfc_features>}
 PARTNET=${3:?need <partnet_root> (or '-')}
-MINK_CKPTS=${4:-pretrained/HRNetSimCSN3S_K1}
-KNN_GRAPHS=${5:-}
-OUT=${6:-outputs/parity}
-shift $(( $# > 6 ? 6 : $# ))
+shift 3
+
+# optional positionals stop at the first flag, so pass-through flags work
+# with fewer than 6 positionals ('-' is a valid positional skip sentinel)
+is_positional() { [ "$1" = "-" ] || [ "${1#-}" = "$1" ]; }
+MINK_CKPTS=pretrained/HRNetSimCSN3S_K1
+KNN_GRAPHS=
+OUT=outputs/parity
+if [ $# -gt 0 ] && is_positional "$1"; then MINK_CKPTS=$1; shift; fi
+if [ $# -gt 0 ] && is_positional "$1"; then KNN_GRAPHS=$1; shift; fi
+if [ $# -gt 0 ] && is_positional "$1"; then OUT=$1; shift; fi
 
 # §1 step 1: fetch the released archives when the checkpoint dirs are absent
 # (no-op offline: the downloader prints the manual URLs and this script then

@@ -213,3 +213,26 @@ def test_parity_session_synthetic(tmp_path):
         "--out", str(tmp_path / "parity_bad"),
         "--categories", cat, "--expected_csv", str(csv_bad)])
     assert rc == 1
+
+    # a PLANNED category whose artifacts are missing must FAIL (exit 1),
+    # not silently skip — a partial download must never print PASS while
+    # asserting only a fraction of the expectation table
+    csv_two = tmp_path / "expected_two.csv"
+    csv_two.write_text(f"{cat},{exp_midfc:.6f},0.01\nChair,50.0,0.01\n")
+    rc = session_main(midfc_flags + [
+        "--midfc_ckpts", str(ckpts), "--midfc_features", feats_root,
+        "--knn_graphs", str(tmp_path / "graphs"),
+        "--out", str(tmp_path / "parity_missing"),
+        "--expected_csv", str(csv_two)])
+    assert rc == 1
+
+    # pass-through flags with fewer than 6 positionals must reach python,
+    # not be eaten as the optional positionals (old shift-6 bug): --out
+    # must win, proving the flag survived
+    d = tmp_path / "sh_out"
+    proc = subprocess.run(
+        ["bash", os.path.join(repo, "scripts", "parity_session.sh"),
+         "-", "x", "-", "--out", str(d)],
+        env=env, capture_output=True, text=True, timeout=300, cwd=repo)
+    assert proc.returncode == 2, proc.stdout + proc.stderr
+    assert d.is_dir()

@@ -204,3 +204,74 @@ def test_ring_flash_model_integration():
                     jax.tree_util.tree_leaves(ref_g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-2,
                                    atol=3e-2)
+
+
+@needs_4_devices
+def test_ring_flash_dropout_seed_keying_fwd_bwd_agree(monkeypatch):
+    """The dropout seed contract — every (query chip, origin chip) pair gets
+    one distinct seed, the BACKWARD regenerates exactly the forward's seed
+    for each block, and per-block dk cotangents land home — proven without
+    the TPU PRNG: the flash kernels are replaced by spies that ENCODE
+    seed * origin-marker into out / dq / dk while the REAL ring machinery
+    (_ring_flash_scan hop order, _ring_flash_bwd re-ring + homing) runs over
+    them on the 4-chip mesh. A future edit that desynchronizes the forward's
+    per-hop seeds from the backward's regeneration (the biased-gradient
+    failure class documented in ops/flash.py) shifts one of these sums and
+    fails loudly; the real-kernel dropout determinism lives in the TPU suite."""
+    import csn_tpu.ops.flash as F
+    from csn_tpu.ops.attention import ring_flash_attention
+
+    n, b, h, lq, dk_d, dv_d, BASE = 4, 1, 2, 2, 2, 3, 7
+    L = n * lq
+
+    def fwd_spy(q, k, v, kv_mask, q_mask, carry, temperature,
+                dropout=0.0, seed=None, **kw):
+        m, l, acc = carry
+        return (m, l, acc + seed.astype(jnp.float32) * jnp.mean(k))
+
+    def bwd_spy(q, k, v, kv_mask, out, lse, g, temperature,
+                dropout=0.0, seed=None):
+        enc = seed.astype(jnp.float32) * jnp.mean(k)
+        return (jnp.full(q.shape, enc, jnp.float32),
+                jnp.full(k.shape, seed.astype(jnp.float32), jnp.float32),
+                jnp.zeros(v.shape, jnp.float32))
+
+    monkeypatch.setattr(F, "flash_forward_carry", fwd_spy)
+    monkeypatch.setattr(F, "flash_carry_finalize",
+                        lambda c: (c[2], c[0]))
+    monkeypatch.setattr(F, "flash_block_backward", bwd_spy)
+
+    # k marker: every row of chip i's shard holds i+1
+    q = jnp.zeros((b, h, L, dk_d), jnp.float32)
+    k = jnp.repeat(jnp.arange(1, n + 1, dtype=jnp.float32),
+                   lq)[None, None, :, None] * jnp.ones((b, h, L, dk_d))
+    v = jnp.zeros((b, h, L, dv_d), jnp.float32)
+
+    mesh = make_midfc_mesh(1, n)
+    f = jax.shard_map(
+        lambda a, b_, c: ring_flash_attention(
+            a, b_, c, None, axis="seq", temperature=1.0,
+            dropout_rate=0.5, seed=BASE),
+        mesh=mesh,
+        in_specs=(P(None, None, "seq", None),) * 3,
+        out_specs=P(None, None, "seq", None), check_vma=False)
+    out, vjp_fn = jax.vjp(f, q, k, v)
+    dq, dk, dv = vjp_fn(jnp.ones_like(out))
+
+    # expected keying: seed(me, origin) = BASE*65599 + me*n + origin
+    seed_of = lambda me, o: BASE * 65599 + me * n + o
+    pairs = [seed_of(me, o) for me in range(n) for o in range(n)]
+    assert len(set(pairs)) == n * n  # one distinct seed per (q, origin) pair
+
+    out, dq, dk, dv = map(np.asarray, (out, dq, dk, dv))
+    for me in range(n):
+        rows = slice(me * lq, (me + 1) * lq)
+        # fwd: sum over hops of seed(me, origin) * marker(origin)
+        want = sum(seed_of(me, o) * (o + 1) for o in range(n))
+        np.testing.assert_allclose(out[:, :, rows], want, rtol=1e-6)
+        # bwd regenerates the SAME seeds for the same blocks
+        np.testing.assert_allclose(dq[:, :, rows], want, rtol=1e-6)
+        # block-origin me's dk came home carrying every chip's contribution
+        want_dk = sum(seed_of(src, me) for src in range(n))
+        np.testing.assert_allclose(dk[:, :, rows], want_dk, rtol=1e-6)
+    np.testing.assert_allclose(dv, 0.0)
