@@ -30,6 +30,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -347,7 +348,12 @@ def main():
     optimizer = make_optimizer(optimizer="SGD", lr=0.05)
     opt_state = optimizer.init(params)
 
-    @jax.jit
+    # params/stats/opt_state are dead after each call (rebound to the
+    # returns), so donate them: XLA aliases the update in place instead of
+    # holding both generations live (A/B knob: BENCH_DONATE=0).
+    donate = (0, 1, 2) if os.environ.get("BENCH_DONATE", "1") == "1" else ()
+
+    @partial(jax.jit, donate_argnums=donate)
     def train_step(params, stats, opt_state, qb, kbs, rng):
         def loss_fn(p):
             out, new_vars = model.apply(

@@ -138,7 +138,10 @@ class MidfcRunner:
         self.jax_rng = jax.random.PRNGKey(cfg.seed)
         self.lr = cfg.lr
 
-        self._apply = jax.jit(self._make_apply())
+        # params/opt_state are rebound to the returns at the sole call site
+        # (train epoch loop), so donate: the 3x-param-sized (params, m, v)
+        # Adam state updates in place instead of double-buffering.
+        self._apply = jax.jit(self._make_apply(), donate_argnums=(0, 1))
         n_par = cfg.data_parallel * cfg.seq_parallel
         if n_par > 1:
             from csn_tpu.parallel.midfc import make_midfc_mesh, \

@@ -169,7 +169,13 @@ class BaseTrainer:
                     f"({self.n_dev})")
             self.n_col = self.K + 1
         self.n_data = self.n_dev // self.n_col
-        self._apply_step = jax.jit(self._make_apply_step())
+        # params/opt_state are rebound to the returns at the sole call site
+        # (_train_iter), so donate them: XLA aliases the SGD update in place
+        # instead of holding two generations of the 2x-param-sized
+        # (params, momentum) state live. grads are NOT donated — _train_iter
+        # keeps them for _log_params histograms.
+        self._apply_step = jax.jit(self._make_apply_step(),
+                                   donate_argnums=(0, 1))
         if self.n_dev > 1:
             from csn_tpu.parallel import dp
 
