@@ -29,12 +29,99 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 from functools import partial
 
 import numpy as np
 
 V100_BASELINE_SHAPES_PER_SEC = 10.0
+
+
+class _Watchdog:
+    """Wall-clock budget for the whole bench run (BENCH_BUDGET_S, default
+    480 s — comfortably under the driver's timeout).
+
+    The axon relay has been observed to wedge the first *execution* after a
+    successful compile (BENCH_r04: rc=124 after 560 s, compile-cache entry
+    written, round-3 bench hangs identically — an environment degradation,
+    not a code path). A SIGALRM handler cannot fire while the main thread is
+    blocked inside jax's C++ await, so this is a daemon THREAD: on budget
+    breach it prints the one JSON line the driver parses — with
+    `"value": null` and the stage reached — flushes, and `os._exit(0)`.
+    A parsed partial artifact beats rc=124."""
+
+    def __init__(self):
+        self.t0 = time.time()
+        self.stage = "start"
+        self.stage_t0 = self.t0
+        self.metric = "csn_train_throughput"
+        self.unit = "shapes/sec"
+        self.budget_s = float(os.environ.get("BENCH_BUDGET_S", "480"))
+        self._done = threading.Event()
+
+    def set_metric(self, metric, unit="shapes/sec"):
+        self.metric, self.unit = metric, unit
+
+    def set_stage(self, name):
+        now = time.time()
+        print(f"[bench-wd] stage '{self.stage}' took {now - self.stage_t0:.1f}s"
+              f" -> entering '{name}' (elapsed {now - self.t0:.1f}s of "
+              f"{self.budget_s:.0f}s budget)", file=sys.stderr, flush=True)
+        self.stage, self.stage_t0 = name, now
+
+    def arm(self):
+        if self.budget_s <= 0:  # BENCH_BUDGET_S=0 disables the watchdog
+            return
+
+        def _watch():
+            if not self._done.wait(timeout=self.budget_s):
+                now = time.time()
+                print(f"[bench-wd] BUDGET BREACHED after {now - self.t0:.1f}s "
+                      f"in stage '{self.stage}' (stage running "
+                      f"{now - self.stage_t0:.1f}s) — emitting partial JSON "
+                      f"and exiting 0", file=sys.stderr, flush=True)
+                print(json.dumps({
+                    "metric": self.metric, "value": None, "unit": self.unit,
+                    "vs_baseline": None, "aborted_at": self.stage,
+                    "elapsed_s": round(now - self.t0, 1),
+                    "stage_elapsed_s": round(now - self.stage_t0, 1),
+                }), flush=True)
+                sys.stdout.flush()
+                sys.stderr.flush()
+                os._exit(0)
+
+        threading.Thread(target=_watch, daemon=True,
+                         name="bench-watchdog").start()
+
+    def disarm(self):
+        self._done.set()
+
+
+WD = _Watchdog()
+
+
+def _emit(obj):
+    """Print the one driver-parsed JSON line (disarms the watchdog first so
+    a budget breach can never race a second JSON line onto stdout)."""
+    WD.disarm()
+    print(json.dumps(obj), flush=True)
+
+
+def _setup_compile_cache():
+    """Repo-local persistent compilation cache (self-set when unset): repeat
+    runs — and a driver retry after a relay wedge — skip the ~2 min compile.
+    /tmp does not survive the driver's container churn; the repo dir does."""
+    import jax
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.join(here, ".jaxcache"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+    except Exception:
+        pass
 
 
 def make_surface_shape(rng, n_points=10000):
@@ -95,20 +182,16 @@ def run_e2e():
     steady-state shapes/s alongside (not instead of) the device-only
     headline. Run: BENCH_E2E=1 python bench.py"""
     import tempfile
-    import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                         "/tmp/jaxcache"))
-    except Exception:
-        pass
+    _setup_compile_cache()
+    WD.set_metric("csn_e2e_train_throughput")
 
     from csn_tpu.config import Config
     from csn_tpu.tasks.main_csn import build_trainer
 
     B, P, K = 8, 10000, int(os.environ.get("BENCH_K", "1"))
     with tempfile.TemporaryDirectory() as tmp:
+        WD.set_stage("host_dataset_build")
         write_bench_partnet(tmp, P=P)
         cfg = Config(
             model="HRNetSimCSN3S", partnet_path=tmp, partnet_category="Chair",
@@ -118,14 +201,17 @@ def run_e2e():
             log_dir=os.path.join(tmp, "logs"), normalize_coords=False,
         ).normalized()
         trainer = build_trainer(cfg)
+        WD.set_stage("init_and_graph")
         trainer.initialize()
         trainer.construct_shape_graph(recalculate=False)
+        WD.set_stage("compile_and_warmup")
         for i in range(3):  # compile + prefetch fill
             t0 = time.time()
             trainer._train_iter()
             print(f"[bench-e2e] warmup iter {i}: {time.time() - t0:.2f}s",
                   file=sys.stderr)
         iters = int(os.environ.get("BENCH_ITERS", "10"))
+        WD.set_stage("timing")
         t0 = time.time()
         for _ in range(iters):
             trainer._train_iter()
@@ -136,12 +222,12 @@ def run_e2e():
           f"({throughput:.2f} query shapes/sec incl. host pipeline; K={K}; "
           f"data wait {trainer.data_time_avg.avg * 1e3:.0f} ms/iter)",
           file=sys.stderr)
-    print(json.dumps({
+    _emit({
         "metric": "csn_e2e_train_throughput",
         "value": round(throughput, 3),
         "unit": "shapes/sec",
         "vs_baseline": round(throughput / V100_BASELINE_SHAPES_PER_SEC, 3),
-    }))
+    })
 
 
 def run_infer():
@@ -155,12 +241,10 @@ def run_infer():
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                         "/tmp/jaxcache"))
-    except Exception:
-        pass
+    _setup_compile_cache()
+    WD.set_metric("csn_cached_infer_throughput"
+                  if os.environ.get("BENCH_CACHED", "0") == "1"
+                  else "csn_infer_throughput")
 
     from csn_tpu.config import Config
     from csn_tpu.core.interp import interp_batch
@@ -171,6 +255,7 @@ def run_infer():
     K = int(os.environ.get("BENCH_K", "1"))
     NUM_CLASSES = 39
     rng = np.random.default_rng(0)
+    WD.set_stage("host_batch_build")
     cls = load_model("HRNetSimCSN3S")
     amp = os.environ.get("BENCH_DTYPE", Config().resolved_compute_dtype())
     model = cls(out_channels=NUM_CLASSES, conv1_kernel_size=5, d_model=256,
@@ -188,6 +273,7 @@ def run_infer():
     kbs = tuple(collate_shapes([make_surface_shape(rng, P)
                                 for _ in range(B)], spec, rng=rng).to_jax()
                 for _ in range(K))
+    WD.set_stage("model_init")
     variables = jax.jit(
         lambda r, b, ks: model.init(r, b, ks, train=False))(
         jax.random.PRNGKey(0), qb, kbs)
@@ -246,37 +332,35 @@ def run_infer():
         float(np.asarray(acc))  # forces the whole chain
         return (time.time() - t0) / n
 
+    WD.set_stage("compile_and_first_step")
     t0 = time.time()
     acc = infer_step(variables, qb, key_args, jnp.float32(1e-6))
     float(np.asarray(acc))
     print(f"[bench-infer] compile+first: {time.time() - t0:.1f}s",
           file=sys.stderr)
+    WD.set_stage("warmup")
     print(f"[bench-infer] warmup chain: {chain(3) * 1e3:.1f} ms/step",
           file=sys.stderr)
     iters = int(os.environ.get("BENCH_ITERS", "20"))
+    WD.set_stage("timing")
     dt = chain(iters)
     throughput = B / dt
     print(f"[bench-infer] steady-state: {dt * 1e3:.1f} ms/step "
           f"({throughput:.2f} query shapes/sec; K={K})", file=sys.stderr)
-    print(json.dumps({
+    _emit({
         "metric": ("csn_cached_infer_throughput" if cached
                    else "csn_infer_throughput"),
         "value": round(throughput, 3),
         "unit": "shapes/sec",
         "vs_baseline": round(throughput / 30.0, 3),
-    }))
+    })
 
 
 def main():
     import jax
 
-    # persistent compilation cache: repeat runs skip the ~2 min compile
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                         "/tmp/jaxcache"))
-    except Exception:
-        pass
+    _setup_compile_cache()
+    WD.set_metric("csn_train_throughput")
 
     from csn_tpu.core.interp import interp_batch
     from csn_tpu.data.pipeline import collate_shapes, pyramid_spec_for_model
@@ -316,6 +400,7 @@ def main():
         dense_stem_grid=(None if os.environ.get("BENCH_DENSE_STEM",
                                                 "0") == "1" else 0))
 
+    WD.set_stage("host_batch_build")
     t0 = time.time()
     qb_host = collate_shapes([make_surface_shape(rng, P) for _ in range(B)],
                              spec, rng=rng)
@@ -328,6 +413,7 @@ def main():
     print(f"[bench] host batch build: {host_build_s:.2f}s for 2x{B} shapes; "
           f"voxels/shape: min={min(occ)} max={max(occ)}", file=sys.stderr)
 
+    WD.set_stage("transfer")
     compact = os.environ.get("BENCH_COMPACT_WIRE", "1") == "1"
     qb = qb_host.to_jax(compact=compact)
     kbs = tuple(k.to_jax(compact=compact) for k in kb_hosts[:K])
@@ -340,6 +426,7 @@ def main():
           f"(compact={compact}; BENCH_COMPACT_WIRE=0 for the int32/full "
           f"layout)", file=sys.stderr)
 
+    WD.set_stage("model_init")
     variables = jax.jit(
         lambda r, b, ks: model.init(r, b, ks, train=False))(
         jax.random.PRNGKey(0), qb, kbs)
@@ -371,6 +458,7 @@ def main():
         return new_params, new_stats, new_opt, loss
 
     key = jax.random.PRNGKey(1)
+    WD.set_stage("compile_and_first_step")
     t0 = time.time()
     params, stats, opt_state, loss = train_step(params, stats, opt_state, qb,
                                                 kbs, key)
@@ -378,6 +466,7 @@ def main():
     print(f"[bench] compile+first step: {time.time() - t0:.1f}s "
           f"loss={float(loss):.3f}", file=sys.stderr)
 
+    WD.set_stage("warmup")
     for i in range(2):  # warmup
         t1 = time.time()
         key, sub = jax.random.split(key)
@@ -398,6 +487,7 @@ def main():
         loss.block_until_ready()
         jax.profiler.stop_trace()
         print(f"[bench] trace written to {trace_dir}", file=sys.stderr)
+    WD.set_stage("timing")
     t0 = time.time()
     for i in range(iters):
         key, sub = jax.random.split(key)
@@ -409,12 +499,12 @@ def main():
     print(f"[bench] steady-state: {dt * 1e3:.1f} ms/step "
           f"({throughput:.2f} query shapes/sec; K={K})", file=sys.stderr)
 
-    print(json.dumps({
+    _emit({
         "metric": "csn_train_throughput",
         "value": round(throughput, 3),
         "unit": "shapes/sec",
         "vs_baseline": round(throughput / V100_BASELINE_SHAPES_PER_SEC, 3),
-    }))
+    })
 
 
 def run_midfc():
@@ -441,12 +531,8 @@ def run_midfc():
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                         "/tmp/jaxcache"))
-    except Exception:
-        pass
+    _setup_compile_cache()
+    WD.set_metric("midfc_csa_train_throughput")
 
     from csn_tpu.midfc.training import MidfcConfig, MidfcRunner
 
@@ -463,14 +549,17 @@ def run_midfc():
                       compute_dtype=os.environ.get(
                           "BENCH_MIDFC_DTYPE",
                           MidfcConfig.compute_dtype))  # shipped default
+    WD.set_stage("host_batch_build")
     runner = MidfcRunner(cfg, "csa")
     rng = np.random.default_rng(0)
     feats = jnp.asarray(rng.normal(size=(B, P, C)).astype(np.float32))
     neighbors = jnp.asarray(
         rng.normal(size=(B, K + 1, P, C)).astype(np.float32))
     labels = jnp.asarray(rng.integers(0, 39, size=(B, P)).astype(np.int32))
+    WD.set_stage("model_init")
     runner.initialize(feats, neighbors)
 
+    WD.set_stage("compile_and_first_step")
     t0 = time.time()
     rng_key = jax.random.PRNGKey(0)
 
@@ -489,6 +578,7 @@ def run_midfc():
           f"loss={float(np.asarray(loss)):.3f}", file=sys.stderr)
     # params evolve every step, so the chain is inherently un-memoizable
     # through the relay; fetch one loss at the end to force it.
+    WD.set_stage("warmup")
     for w in range(2):
         t0 = time.time()
         loss = step()
@@ -496,6 +586,7 @@ def run_midfc():
         print(f"[bench-midfc] warmup step {w}: {time.time() - t0:.2f}s",
               file=sys.stderr)
     iters = int(os.environ.get("BENCH_ITERS", "20"))
+    WD.set_stage("timing")
     t0 = time.time()
     for _ in range(iters):
         loss = step()
@@ -506,12 +597,12 @@ def run_midfc():
           f"({throughput:.2f} shapes/sec; CSA n_heads=8 K={K} "
           f"{'full' if fl == 'full' else 'chunked-500'})",
           file=sys.stderr)
-    print(json.dumps({
+    _emit({
         "metric": "midfc_csa_train_throughput",
         "value": round(throughput, 3),
         "unit": "shapes/sec",
         "vs_baseline": round(throughput / 5.0, 3),
-    }))
+    })
 
 
 def _with_interp_fallback(fn):
@@ -535,6 +626,7 @@ def _with_interp_fallback(fn):
 
 
 if __name__ == "__main__":
+    WD.arm()
     if os.environ.get("BENCH_E2E", "0") == "1" or "--e2e" in sys.argv:
         run_e2e()
     elif (os.environ.get("BENCH_MODE", "") == "infer"

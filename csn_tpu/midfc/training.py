@@ -141,6 +141,10 @@ class MidfcRunner:
         # params/opt_state are rebound to the returns at the sole call site
         # (train epoch loop), so donate: the 3x-param-sized (params, m, v)
         # Adam state updates in place instead of double-buffering.
+        # INVARIANT: pre-update buffers are deleted by donation — readers of
+        # params (the best-IoU _save) must run before the next _apply call or
+        # np.asarray-copy first (same contract as trainer.py _apply_step,
+        # pinned by tests/test_trainer.py::test_apply_step_donates_...).
         self._apply = jax.jit(self._make_apply(), donate_argnums=(0, 1))
         n_par = cfg.data_parallel * cfg.seq_parallel
         if n_par > 1:

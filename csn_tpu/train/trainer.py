@@ -174,6 +174,11 @@ class BaseTrainer:
         # instead of holding two generations of the 2x-param-sized
         # (params, momentum) state live. grads are NOT donated — _train_iter
         # keeps them for _log_params histograms.
+        # INVARIANT: no live device reference to params/opt_state may survive
+        # a _train_iter() — the pre-update buffers are deleted by donation.
+        # Readers (checkpoint saves, graph rebuilds) must run before the next
+        # update or np.asarray-copy first. Pinned by
+        # tests/test_trainer.py::test_apply_step_donates_param_buffers.
         self._apply_step = jax.jit(self._make_apply_step(),
                                    donate_argnums=(0, 1))
         if self.n_dev > 1:

@@ -42,6 +42,7 @@ def test_main_seg_cli_train_and_eval(tmp_path):
     assert rows[0][1] is not None and rows[0][2] is not None
 
 
+@pytest.mark.slow
 def test_testing_csn_sh_loops_categories(tmp_path):
     """scripts/testing_csn.sh (the reference's 17-category eval driver,
     `MinkowskiNet/scripts/testing_csn.sh:1-40`): train two tiny synthetic
@@ -90,6 +91,7 @@ def test_testing_csn_sh_loops_categories(tmp_path):
     assert "no checkpoint found" in proc.stderr
 
 
+@pytest.mark.slow
 def test_parity_session_synthetic(tmp_path):
     """scripts/parity_session.sh (PARITY.md §§1-4 in one command, VERDICT r3
     #6) rehearsed end-to-end on synthetic stand-ins: a MID-FC msgpack

@@ -62,6 +62,7 @@ def single_device_logits(model, params, stats, qb, kbs):
 
 
 @pytest.mark.parametrize("k_neighbors,n_data", [(1, 2), (2, 2)])
+@pytest.mark.slow
 def test_cp_eval_matches_single_device_combined(k_neighbors, n_data):
     model, spec, per_data, params, stats = build(k_neighbors, n_data)
     mesh = make_cp_mesh(n_data, k_neighbors + 1)
@@ -84,6 +85,7 @@ def test_cp_eval_matches_single_device_combined(k_neighbors, n_data):
     assert float(loss) == pytest.approx(float(np.mean(losses)), rel=1e-4)
 
 
+@pytest.mark.slow
 def test_cp_grads_match_single_device():
     """With one data shard and INSTANCE_NORM, the collection-parallel
     gradient must equal the single-device combined-pass gradient — the
@@ -144,6 +146,7 @@ def test_cp_train_step_batchnorm_runs_finite():
     assert np.isfinite(gnorm) and gnorm > 0
 
 
+@pytest.mark.slow
 def test_cp_trainer_product_path(tmp_path):
     """`--collection_parallel --data_parallel 8 --k_neighbors 1` through the
     PRODUCT path (CSNTrainer): the train step runs on the (4, 2) mesh, the
@@ -176,7 +179,11 @@ def test_cp_trainer_product_path(tmp_path):
     nbrs = [(i, [(i + 1) % 8]) for i in range(8)]
     t1.train_dataset.neighbors = list(nbrs)
     tcp.train_dataset.neighbors = list(nbrs)
-    p0 = tcp.params
+    # Host-copy: _apply_step donates params/opt_state (trainer.py), so the
+    # pre-update device buffers are deleted by the update — holding a live
+    # device reference across _train_iter() is a contract violation (see
+    # test_apply_step_donates_param_buffers).
+    p0 = jax.tree_util.tree_map(lambda a: np.asarray(a).copy(), tcp.params)
     t1._train_iter()
     tcp._train_iter()
     t1._close_prefetch()

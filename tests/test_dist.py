@@ -155,6 +155,7 @@ def test_sharded_retrieval_matches_single_device():
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dp_trainer_matches_single_device(tmp_path):
     """`--data_parallel 8` through the PRODUCT path (CSNTrainer): eval is
     exactly the single-device computation (running BN stats); one DP train

@@ -133,6 +133,7 @@ def test_shape_guards():
         bad.init(jax.random.PRNGKey(0), x, x, x)
 
 
+@pytest.mark.slow
 def test_ring_attention_matches_dense():
     """ring_attention inside shard_map == dense softmax attention on the
     full key set (grads included), with a nontrivial K/V mask that travels

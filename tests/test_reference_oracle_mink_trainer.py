@@ -231,6 +231,7 @@ def synth_root(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.slow
 def test_state_machine_trace_matches_reference(ref, synth_root, tmp_path):
     script = _val_script(45)
     ref_trace, ref_events = _run_reference(ref, tmp_path / "ref", script)
@@ -250,6 +251,7 @@ def test_state_machine_trace_matches_reference(ref, synth_root, tmp_path):
     assert ref_trace[-1]["lr"] < 0.05            # plateau lr stepped down
 
 
+@pytest.mark.slow
 def test_state_machine_k0_never_constructs(ref, synth_root, tmp_path):
     """k_neighbors=0: no graph machinery at all on either side
     (`trainer_csn.py:78,121,134`)."""

@@ -31,6 +31,7 @@ def make_config(root, tmp, **kw):
     return Config(**base).normalized()
 
 
+@pytest.mark.slow
 def test_csn_train_eval_checkpoint_resume(synth_root, tmp_path):
     from csn_tpu.tasks.main_csn import build_trainer
 
@@ -87,6 +88,35 @@ def test_csn_train_eval_checkpoint_resume(synth_root, tmp_path):
     res = trainer2.test_on(test_ds, save_pred_dir=str(tmp_path / "pred"))
     assert np.isfinite(res[0])
     assert os.path.exists(tmp_path / "pred" / "results_log.txt")
+
+
+def test_apply_step_donates_param_buffers(synth_root, tmp_path):
+    """Pin the donation contract at `trainer.py _apply_step`
+    (donate_argnums=(0, 1)): after `_train_iter()` the PRE-update
+    params/opt_state device buffers are DELETED. No code may hold a live
+    device reference to params/opt_state across a `_train_iter()` — copy to
+    host first (`np.asarray`). The product paths that read params
+    (checkpoint saves, graph rebuilds, midfc best-IoU save) all do so
+    before the next donating call; this test makes the aliasing contract
+    explicit instead of incidental."""
+    import jax
+
+    from csn_tpu.tasks.main_csn import build_trainer
+
+    cfg = make_config(synth_root, str(tmp_path))
+    trainer = build_trainer(cfg, phases=("train", "val"))
+    trainer.initialize()
+    trainer.train_dataset.neighbors = [(i, [(i + 1) % 6]) for i in range(6)]
+    old_params = jax.tree_util.tree_leaves(trainer.params)
+    trainer._train_iter()
+    trainer._close_prefetch()
+    # every pre-update param leaf was donated into the update
+    assert all(leaf.is_deleted() for leaf in old_params)
+    # and the post-update state is live and usable
+    assert all(not leaf.is_deleted()
+               for leaf in jax.tree_util.tree_leaves(trainer.params))
+    assert all(np.isfinite(np.asarray(leaf)).all()
+               for leaf in jax.tree_util.tree_leaves(trainer.params))
 
 
 def test_seg_trainer_loss_decreases(synth_root, tmp_path):

@@ -20,6 +20,7 @@ def synth_root(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.slow
 def test_patience_exhaustion_triggers_graph_rebuild(synth_root, tmp_path):
     from csn_tpu.tasks.main_csn import build_trainer
     from csn_tpu.train.trainer import CSNTrainer
