@@ -59,6 +59,10 @@ class _Watchdog:
         self.unit = "shapes/sec"
         self.budget_s = float(os.environ.get("BENCH_BUDGET_S", "480"))
         self._done = threading.Event()
+        # serializes the breach print against disarm(): whoever takes the
+        # lock first wins, so stdout carries EXACTLY one JSON line even when
+        # the run finishes at ~the budget boundary.
+        self._lock = threading.Lock()
 
     def set_metric(self, metric, unit="shapes/sec"):
         self.metric, self.unit = metric, unit
@@ -76,36 +80,46 @@ class _Watchdog:
 
         def _watch():
             if not self._done.wait(timeout=self.budget_s):
-                now = time.time()
-                print(f"[bench-wd] BUDGET BREACHED after {now - self.t0:.1f}s "
-                      f"in stage '{self.stage}' (stage running "
-                      f"{now - self.stage_t0:.1f}s) — emitting partial JSON "
-                      f"and exiting 0", file=sys.stderr, flush=True)
-                print(json.dumps({
-                    "metric": self.metric, "value": None, "unit": self.unit,
-                    "vs_baseline": None, "aborted_at": self.stage,
-                    "elapsed_s": round(now - self.t0, 1),
-                    "stage_elapsed_s": round(now - self.stage_t0, 1),
-                }), flush=True)
-                sys.stdout.flush()
-                sys.stderr.flush()
-                os._exit(0)
+                with self._lock:
+                    if self._done.is_set():
+                        return  # disarm won the boundary race — success line
+                    self._done.set()
+                    now = time.time()
+                    print(f"[bench-wd] BUDGET BREACHED after "
+                          f"{now - self.t0:.1f}s in stage '{self.stage}' "
+                          f"(stage running {now - self.stage_t0:.1f}s) — "
+                          f"emitting partial JSON and exiting 0",
+                          file=sys.stderr, flush=True)
+                    print(json.dumps({
+                        "metric": self.metric, "value": None,
+                        "unit": self.unit, "vs_baseline": None,
+                        "aborted_at": self.stage,
+                        "elapsed_s": round(now - self.t0, 1),
+                        "stage_elapsed_s": round(now - self.stage_t0, 1),
+                    }), flush=True)
+                    sys.stdout.flush()
+                    sys.stderr.flush()
+                    os._exit(0)
 
         threading.Thread(target=_watch, daemon=True,
                          name="bench-watchdog").start()
 
     def disarm(self):
-        self._done.set()
+        with self._lock:
+            self._done.set()
 
 
 WD = _Watchdog()
 
 
-def _emit(obj):
-    """Print the one driver-parsed JSON line (disarms the watchdog first so
-    a budget breach can never race a second JSON line onto stdout)."""
+def _emit(value, vs_baseline):
+    """Print the one driver-parsed JSON line. metric/unit come from WD —
+    the single source of truth shared with the breach path — and disarm()
+    runs first (lock-serialized against the watchdog), so a budget breach
+    can never race a second JSON line onto stdout."""
     WD.disarm()
-    print(json.dumps(obj), flush=True)
+    print(json.dumps({"metric": WD.metric, "value": value, "unit": WD.unit,
+                      "vs_baseline": vs_baseline}), flush=True)
 
 
 def _setup_compile_cache():
@@ -222,12 +236,8 @@ def run_e2e():
           f"({throughput:.2f} query shapes/sec incl. host pipeline; K={K}; "
           f"data wait {trainer.data_time_avg.avg * 1e3:.0f} ms/iter)",
           file=sys.stderr)
-    _emit({
-        "metric": "csn_e2e_train_throughput",
-        "value": round(throughput, 3),
-        "unit": "shapes/sec",
-        "vs_baseline": round(throughput / V100_BASELINE_SHAPES_PER_SEC, 3),
-    })
+    _emit(value=round(throughput, 3),
+          vs_baseline=round(throughput / V100_BASELINE_SHAPES_PER_SEC, 3))
 
 
 def run_infer():
@@ -242,8 +252,8 @@ def run_infer():
     import jax.numpy as jnp
 
     _setup_compile_cache()
-    WD.set_metric("csn_cached_infer_throughput"
-                  if os.environ.get("BENCH_CACHED", "0") == "1"
+    cached = os.environ.get("BENCH_CACHED", "0") == "1"
+    WD.set_metric("csn_cached_infer_throughput" if cached
                   else "csn_infer_throughput")
 
     from csn_tpu.config import Config
@@ -282,7 +292,6 @@ def run_infer():
     # precomputed collection cache (csa_from_cache), single-B backbone pass
     # instead of (K+1)-B. Cache build cost is amortized over the whole query
     # split in real eval, so steady-state ms/step is the honest comparison.
-    cached = os.environ.get("BENCH_CACHED", "0") == "1"
     if cached:
         cache_fn = jax.jit(
             lambda v, b: model.apply(v, b, method="cache_features"))
@@ -347,13 +356,8 @@ def run_infer():
     throughput = B / dt
     print(f"[bench-infer] steady-state: {dt * 1e3:.1f} ms/step "
           f"({throughput:.2f} query shapes/sec; K={K})", file=sys.stderr)
-    _emit({
-        "metric": ("csn_cached_infer_throughput" if cached
-                   else "csn_infer_throughput"),
-        "value": round(throughput, 3),
-        "unit": "shapes/sec",
-        "vs_baseline": round(throughput / 30.0, 3),
-    })
+    _emit(value=round(throughput, 3),
+          vs_baseline=round(throughput / 30.0, 3))
 
 
 def main():
@@ -368,14 +372,10 @@ def main():
     from csn_tpu.train.losses import cross_entropy_ignore
     from csn_tpu.train.optim import make_optimizer
 
-    import os as _os
-
     B, P, VOXEL = 8, 10000, 0.05
-    K = int(_os.environ.get("BENCH_K", "1"))
+    K = int(os.environ.get("BENCH_K", "1"))
     NUM_CLASSES = 39  # Chair
     rng = np.random.default_rng(0)
-
-    import os
 
     cls = load_model("HRNetSimCSN3S")
     use_flash = os.environ.get("BENCH_FLASH", "1") == "1"
@@ -499,12 +499,8 @@ def main():
     print(f"[bench] steady-state: {dt * 1e3:.1f} ms/step "
           f"({throughput:.2f} query shapes/sec; K={K})", file=sys.stderr)
 
-    _emit({
-        "metric": "csn_train_throughput",
-        "value": round(throughput, 3),
-        "unit": "shapes/sec",
-        "vs_baseline": round(throughput / V100_BASELINE_SHAPES_PER_SEC, 3),
-    })
+    _emit(value=round(throughput, 3),
+          vs_baseline=round(throughput / V100_BASELINE_SHAPES_PER_SEC, 3))
 
 
 def run_midfc():
@@ -597,12 +593,8 @@ def run_midfc():
           f"({throughput:.2f} shapes/sec; CSA n_heads=8 K={K} "
           f"{'full' if fl == 'full' else 'chunked-500'})",
           file=sys.stderr)
-    _emit({
-        "metric": "midfc_csa_train_throughput",
-        "value": round(throughput, 3),
-        "unit": "shapes/sec",
-        "vs_baseline": round(throughput / 5.0, 3),
-    })
+    _emit(value=round(throughput, 3),
+          vs_baseline=round(throughput / 5.0, 3))
 
 
 def _with_interp_fallback(fn):

@@ -28,6 +28,7 @@ Replaces both the per-batch-element attention loop of the reference
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -37,6 +38,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 LANES = 128
+
+
+@contextlib.contextmanager
+def interpret_mode():
+    """Force every `pl.pallas_call` in scope to `interpret=True`: the Mosaic
+    kernels run through the Pallas interpreter, so CPU-mesh tests and the
+    driver's virtual-device dryrun can execute the flash / ring-flash paths
+    without TPU hardware. The ONE shared definition (used by
+    tests/test_ring_flash.py and __graft_entry__.dryrun_multichip) — keep
+    the monkeypatch in a single place so an upstream change to the
+    interpret kwarg is fixed once."""
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    pl.pallas_call = patched
+    try:
+        yield
+    finally:
+        pl.pallas_call = orig
 
 
 def _drop_mask(seed_ref, bh, qi, kc0, shape, keep: float):

@@ -12,7 +12,6 @@ JSON; see STATUS.md round-5 notes.)
 import importlib.util
 import json
 import os
-import sys
 import time
 
 
@@ -61,12 +60,14 @@ def test_emit_disarms_watchdog_single_json_line(monkeypatch, capsys):
     exits = []
     monkeypatch.setattr(os, "_exit", lambda code: exits.append(code))
     wd = bench._Watchdog()
-    wd.budget_s = 0.15
+    # budget 2s >> the arm->_emit gap (so no flake even if the contended
+    # 1-core box preempts the main thread), then sleep past the budget to
+    # prove the disarmed watchdog never fires.
+    wd.budget_s = 2.0
     monkeypatch.setattr(bench, "WD", wd)
     wd.arm()
-    bench._emit({"metric": "m", "value": 1.0, "unit": "u",
-                 "vs_baseline": 0.1})
-    time.sleep(0.5)  # past the budget: a live watchdog would have fired
+    bench._emit(1.0, 0.1)
+    time.sleep(2.5)
     assert exits == []
     out_lines = [ln for ln in capsys.readouterr().out.splitlines()
                  if ln.strip().startswith("{")]

@@ -10,22 +10,12 @@ from csn_tpu.ops.attention import scaled_dot_product_attention
 
 def _flash_interpret(q, k, v, mask, temperature):
     """Run the pallas kernel in interpreter mode (no TPU needed)."""
-    from jax.experimental import pallas as pl
     import csn_tpu.ops.flash as F
 
-    orig = pl.pallas_call
-
-    def patched(*args, **kw):
-        kw["interpret"] = True
-        return orig(*args, **kw)
-
-    pl.pallas_call = patched
-    try:
+    with F.interpret_mode():
         out, _lse = F._flash_forward(q, k, v, mask, None, temperature,
                                      block_q=16, block_k=128)
         return out
-    finally:
-        pl.pallas_call = orig
 
 
 def test_flash_matches_dense_interpret():

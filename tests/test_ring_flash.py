@@ -6,14 +6,13 @@ Pallas interpret mode. Dropout determinism lives in the TPU suite
 (tests/test_flash_tpu.py): the in-kernel TPU PRNG has no CPU interpret
 lowering."""
 
-import contextlib
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 from jax.sharding import PartitionSpec as P
 
+from csn_tpu.ops.flash import interpret_mode as interpret_pallas
 from csn_tpu.parallel.midfc import make_midfc_mesh
 
 # These are VIRTUAL-CPU-MESH tests (interpret-mode Pallas over a 4-device
@@ -24,23 +23,6 @@ needs_4_devices = pytest.mark.skipif(
     len(jax.devices()) < 4,
     reason="needs a 4-device (virtual CPU) mesh; single-chip ring-flash "
            "hardware coverage lives in tests/test_flash_tpu.py")
-
-
-@contextlib.contextmanager
-def interpret_pallas():
-    from jax.experimental import pallas as pl
-
-    orig = pl.pallas_call
-
-    def patched(*a, **kw):
-        kw["interpret"] = True
-        return orig(*a, **kw)
-
-    pl.pallas_call = patched
-    try:
-        yield
-    finally:
-        pl.pallas_call = orig
 
 
 def _inputs(b=2, h=3, l=64, dk=8, dv=16, seed=3, with_mask=True):
