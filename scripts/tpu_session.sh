@@ -22,7 +22,7 @@
 set -u
 cd "$(dirname "$0")/.."
 LOG=${LOG:-/tmp/tpu_session.log}
-export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jaxcache}
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-$PWD/.jaxcache}
 STAGES=${*:-tests bench trace}
 
 say() { echo "=== [$(date +%H:%M:%S)] $*" >>"$LOG"; }
@@ -43,17 +43,24 @@ for s in $STAGES; do
     tests)
       run_stage 7200 tpu_tests env RUN_TPU_TESTS=1 \
         python -m pytest tests/test_flash_tpu.py \
-        tests/test_interp_window_tpu.py -q --no-header
+        tests/test_interp_window_tpu.py tests/test_window_conv_trace.py \
+        -q --no-header
+      run_stage 1800 learning_seg python scripts/learning_check.py --task seg
+      run_stage 1800 learning_midfc \
+        python scripts/learning_check.py --task midfc
       ;;
     bench)
-      run_stage 3600 bench_train python bench.py
-      run_stage 1800 bench_infer env BENCH_MODE=infer python bench.py
+      # session runs are not driver-timeout-bound: give the in-bench
+      # watchdog the stage's full budget so a cold compile never
+      # self-aborts at the 480s driver default
+      run_stage 3600 bench_train env BENCH_BUDGET_S=3500 python bench.py
+      run_stage 1800 bench_infer env BENCH_MODE=infer BENCH_BUDGET_S=1700 python bench.py
       run_stage 1800 bench_cached env BENCH_MODE=infer BENCH_CACHED=1 \
-        python bench.py
-      run_stage 1800 bench_midfc env BENCH_MODE=midfc python bench.py
+        BENCH_BUDGET_S=1700 python bench.py
+      run_stage 1800 bench_midfc env BENCH_MODE=midfc BENCH_BUDGET_S=1700 python bench.py
       ;;
     trace)
-      run_stage 3600 bench_trace env BENCH_TRACE=/tmp/trace python bench.py
+      run_stage 3600 bench_trace env BENCH_TRACE=/tmp/trace BENCH_BUDGET_S=3500 python bench.py
       run_stage 600 trace_budget python scripts/trace_budget.py /tmp/trace
       ;;
     *)
