@@ -372,7 +372,10 @@ def main():
     from csn_tpu.train.losses import cross_entropy_ignore
     from csn_tpu.train.optim import make_optimizer
 
-    B, P, VOXEL = 8, 10000, 0.05
+    # BENCH_B: batch-scaling A/B (protocol default 8; 16*5632 stays
+    # 256-aligned so the windowed kernels survive the combined pass)
+    B = int(os.environ.get("BENCH_B", "8"))
+    P, VOXEL = 10000, 0.05
     K = int(os.environ.get("BENCH_K", "1"))
     NUM_CLASSES = 39  # Chair
     rng = np.random.default_rng(0)
@@ -497,7 +500,16 @@ def main():
     dt = (time.time() - t0) / iters
     throughput = B / dt
     print(f"[bench] steady-state: {dt * 1e3:.1f} ms/step "
-          f"({throughput:.2f} query shapes/sec; K={K})", file=sys.stderr)
+          f"({throughput:.2f} query shapes/sec; K={K}; B={B})",
+          file=sys.stderr)
+    try:  # observability: donation's HBM claim, measurable per run
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        if peak:
+            print(f"[bench] peak HBM in use: {peak / 2 ** 30:.2f} GiB",
+                  file=sys.stderr)
+    except Exception:
+        pass
 
     _emit(value=round(throughput, 3),
           vs_baseline=round(throughput / V100_BASELINE_SHAPES_PER_SEC, 3))
