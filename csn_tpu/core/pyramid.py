@@ -574,50 +574,6 @@ class _LevelIndex:
         return out
 
 
-def _quantize_one(points: np.ndarray, feats: np.ndarray, qmode: QMode,
-                  rng: np.random.Generator):
-    """Quantize one shape's float voxel coords into unique int voxels.
-
-    Returns (vox_coords [n,3] int64, vox_feats [n,Cf], point_to_voxel [P_valid]).
-    """
-    ic = np.floor(points).astype(np.int64)
-    mins = ic.min(axis=0) - 1
-    dims = ic.max(axis=0) + 2 - mins
-    keys = _pack_keys(ic, mins, dims)
-    uniq_keys, inv = np.unique(keys, return_inverse=True)
-    n = uniq_keys.shape[0]
-    # Reconstruct coords from first occurrence of each key.
-    first = np.full(n, -1, dtype=np.int64)
-    # np.unique returns sorted keys; map first occurrence:
-    order = np.argsort(inv, kind="stable")
-    seen_first = np.zeros(n, dtype=bool)
-    first_idx = np.empty(n, dtype=np.int64)
-    inv_sorted = inv[order]
-    boundary = np.ones(inv_sorted.shape[0], dtype=bool)
-    boundary[1:] = inv_sorted[1:] != inv_sorted[:-1]
-    first_idx[inv_sorted[boundary]] = order[boundary]
-    vox_coords = ic[first_idx]
-
-    if qmode == QMode.UNWEIGHTED_AVERAGE:
-        cf = feats.shape[1]
-        sums = np.zeros((n, cf), dtype=np.float64)
-        np.add.at(sums, inv, feats)
-        counts = np.bincount(inv, minlength=n).astype(np.float64)
-        vox_feats = (sums / counts[:, None]).astype(np.float32)
-    else:  # RANDOM_SUBSAMPLE: one random point per voxel
-        r = rng.random(points.shape[0])
-        # pick the argmax of r within each voxel
-        best = np.full(n, -1.0)
-        best_idx = np.zeros(n, dtype=np.int64)
-        np.maximum.at(best, inv, r)
-        hit = r >= best[inv] - 1e-12
-        # later points with equal max overwrite; fine (random anyway)
-        best_idx[inv[hit]] = np.nonzero(hit)[0]
-        vox_feats = feats[best_idx].astype(np.float32)
-
-    return vox_coords, vox_feats, inv
-
-
 def _shape_tables_numpy(pts: np.ndarray, spec: PyramidSpec) -> dict:
     """Per-shape coordinate tables (pure numpy): voxel coords per level,
     local kernel maps (-1 = missing), interp corners, point->voxel map."""

@@ -163,7 +163,14 @@ class CrossShapeAt(nn.Module):
         index 0 (only indices 1..K are attended; index 0's slot mirrors the
         reference's convention)."""
         kplus1 = neighbors.shape[1]
-        y_q = self._pool(self.get_ssa_feats(x, train))            # [B, d]
+        # One SSA pass serves both the pooled compatibility descriptor and
+        # the self CSA term below. The reference recomputes the identical
+        # attention(x, x, x) a second time (`csa_models.py:209` then `:232`);
+        # eval-mode output is bit-identical either way (the sibling Mink head
+        # reuses q_ssa the same way, hrnet.py), train mode differs only in
+        # the unpromised dropout stream. Saves 1 of 2K+2 MHA passes per step.
+        ssa_q = self.get_ssa_feats(x, train)
+        y_q = self._pool(ssa_q)                                   # [B, d]
         pools = [y_q]
         for k in range(1, kplus1):
             n_ssa = self.get_ssa_feats(neighbors[:, k], train)
@@ -177,7 +184,7 @@ class CrossShapeAt(nn.Module):
         comp = jax.nn.softmax(
             jnp.einsum("bd,bkd->bk", u_q, u_k), axis=-1)          # [B, K+1]
 
-        csa = comp[:, 0, None, None] * self.attention(x, x, x, train=train)
+        csa = comp[:, 0, None, None] * ssa_q
         for k in range(1, kplus1):
             xk = neighbors[:, k]
             csa = csa + comp[:, k, None, None] * self.attention(

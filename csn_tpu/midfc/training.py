@@ -248,6 +248,12 @@ class MidfcRunner:
             rng, self.jax_rng = jax.random.split(self.jax_rng)
             loss, grads = self._grad(self.params, jnp.asarray(feats),
                                      jnp.asarray(labels), neighbors, rng)
+            # NOTE: the returned "train loss" is mean_CE / accumulation_steps
+            # BY DESIGN — the reference divides the same way before summing
+            # (`csa_training.py train_layers: loss /= args.gradient_
+            # accumulation_steps; running_loss += loss.item(); /= len(...)`),
+            # so its logged train loss sits ~32x below val loss too. Kept for
+            # log parity; do not "fix" one side only.
             running += float(loss) / cfg.gradient_accumulation_steps
             count += 1
             if grads_acc is None:

@@ -268,8 +268,12 @@ def sum_pool(batch, x: jnp.ndarray, map_name: str,
              out_shape: Tuple[int, int]) -> jnp.ndarray:
     """Sum pooling via a down kernel map (ME.MinkowskiSumPooling,
     `models/resnet.py:42-46`)."""
-    kmap = batch.kmaps[map_name]
+    from csn_tpu.core.pyramid import decode_kmap
+
     b, l_in, c = x.shape
+    # int16 wire tables -> absolute indices (same contract as SparseConv
+    # above; the raw compact wire holds per-tile deltas, not row indices)
+    kmap = decode_kmap(batch.kmaps[map_name], b * l_in)
     flat = x.reshape(b * l_in, c)
     g = flat.at[kmap].get(mode="fill", fill_value=0)  # [K, N_out, C]
     out = g.sum(axis=0)

@@ -23,6 +23,9 @@ class Res16UNetBase(nn.Module):
     out_channels: int
     conv1_kernel_size: int = 5
     bn_momentum: float = 0.02
+    # bf16 activations with f32 params/norm stats, like the sibling families
+    # (resnet.py:53, resunet.py:26) — main_seg passes this to every model
+    compute_dtype: str = "float32"
 
     BLOCK = BasicBlock
     PLANES = (32, 64, 128, 256, 256, 256, 256, 256)
@@ -72,7 +75,8 @@ class Res16UNetBase(nn.Module):
 
     def __call__(self, batch, train: bool = False):
         m = batch.masks
-        x = self.conv0(batch, batch.vox_feats, m[0].shape)
+        x = self.conv0(batch, batch.vox_feats.astype(self.compute_dtype),
+                       m[0].shape)
         x = self.norm0(x, m[0], train)
         out_p1 = relu_masked(x, m[0])
 

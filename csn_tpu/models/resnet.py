@@ -63,6 +63,15 @@ class ResNetBase(nn.Module):
         return 6
 
     @classmethod
+    def output_level(cls) -> int:
+        """Logits live on stride-32 voxels (level 5). The reference never
+        registers plain ResNet for segmentation — `models/__init__.py`
+        omits `add_models(resnet)`; the family is the inheritance base for
+        ResUNet — and the point readout (`soutput.interpolate`) assumes a
+        level-0 output, so main_seg rejects output_level != 0 models."""
+        return 5
+
+    @classmethod
     def pyramid_requirements(cls, conv1_kernel_size: int = 5) -> Tuple[MapSpec, ...]:
         maps = [MapSpec("same", 0, conv1_kernel_size)]
         maps += [MapSpec("down", 0, 2), MapSpec("up", 0, 2)]  # sum pooling

@@ -44,11 +44,16 @@ def main(argv=None):
             print(f"{cat}: MISSING")
             continue
         s, p = parse_results_log(hits[-1])
+        if s is None or p is None:
+            # a results_log.txt that exists but doesn't parse (e.g. a killed
+            # eval run) must not silently deflate the 17-category average
+            print(f"{cat}: UNPARSEABLE ({hits[-1]})")
+            continue
         rows.append((cat, s, p))
         print(f"{cat}\tShapeIoU={s}\tPartIoU={p}")
     if rows:
-        avg_s = sum(r[1] for r in rows if r[1] is not None) / len(rows)
-        avg_p = sum(r[2] for r in rows if r[2] is not None) / len(rows)
+        avg_s = sum(r[1] for r in rows) / len(rows)
+        avg_p = sum(r[2] for r in rows) / len(rows)
         print(f"AVG({len(rows)} cats)\tShapeIoU={avg_s:.2f}\t"
               f"PartIoU={avg_p:.2f}")
     return rows

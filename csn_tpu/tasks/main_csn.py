@@ -17,7 +17,12 @@ from csn_tpu.train.trainer import CSNTrainer
 from csn_tpu.utils.logging import setup_logging
 
 
-def build_trainer(config: Config, phases=("train", "val")) -> CSNTrainer:
+def build_trainer(config: Config, phases=None) -> CSNTrainer:
+    # default: the reference's --train_phase/--val_phase flags
+    # (`lib/config.py`), so e.g. --val_phase test validates on the test
+    # split; callers may still pass explicit phases.
+    if phases is None:
+        phases = (config.train_phase, config.val_phase)
     num_labels = NUM_SEG[config.partnet_category.split("-")[0]]
     model_cls = load_model(config.model)
     model = model_cls(

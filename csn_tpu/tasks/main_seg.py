@@ -12,9 +12,23 @@ from csn_tpu.train.trainer import SegTrainer
 from csn_tpu.utils.logging import setup_logging
 
 
-def build_trainer(config: Config, phases=("train", "val")) -> SegTrainer:
+def build_trainer(config: Config, phases=None) -> SegTrainer:
+    # default: the reference's --train_phase/--val_phase flags
+    # (`lib/config.py`), so e.g. --val_phase test validates on the test
+    # split; callers may still pass explicit phases.
+    if phases is None:
+        phases = (config.train_phase, config.val_phase)
     num_labels = NUM_SEG[config.partnet_category.split("-")[0]]
     model_cls = load_model(config.model)
+    out_level = getattr(model_cls, "output_level", None)
+    if out_level is not None and out_level() != 0:
+        raise ValueError(
+            f"{config.model} outputs voxel logits at level "
+            f"{model_cls.output_level()}, but the segmentation readout "
+            f"(trilinear voxel->point interpolation) requires a level-0 "
+            f"output. The reference never registers this family for seg "
+            f"either (`MinkowskiNet/models/__init__.py` omits "
+            f"`add_models(resnet)`); use ResUNet*/Res16UNet*/HRNet*.")
     kw = {}
     if "HRNet" in config.model:  # fc_1 head width (256 in the reference)
         kw["d_model"] = config.d_model

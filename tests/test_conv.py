@@ -113,6 +113,29 @@ def test_sum_pool_matches_manual():
         np.testing.assert_allclose(out[b, i], acc, rtol=1e-5, atol=1e-5)
 
 
+def test_sum_pool_decodes_compact_wire():
+    """sum_pool must decode the int16-delta compact wire exactly like
+    SparseConv does. The raw table holds per-256-row-tile deltas, so using
+    it as absolute indices is only coincidentally right for rows < 256
+    (tile base 0) — batch 1's rows sit past the first tile and gathered
+    garbage before the decode_kmap fix. Compact and full wires must agree
+    bit-for-bit on every batch."""
+    m = MapSpec("down", 0, 2)
+    shapes, spec, vb = build([m], n=150)
+    B, L1 = vb.masks[1].shape
+    _, L0 = vb.masks[0].shape
+    assert B * L1 > 256, "geometry must cross the first wire tile"
+    x = jnp.asarray(vb.vox_feats)
+    out_full = np.asarray(
+        sum_pool(vb.to_jax(compact=False), x, m.name, (B, L1)))
+    out_compact = np.asarray(
+        sum_pool(vb.to_jax(compact=True), x, m.name, (B, L1)))
+    np.testing.assert_array_equal(out_compact, out_full)
+    # batch 1 (rows >= 256, nonzero tile base) must carry real signal
+    n1 = int(vb.num_voxels[1][1])
+    assert np.abs(out_full[1, :n1]).sum() > 0
+
+
 def test_tvjp_backward_matches_autodiff():
     """The all-gather backward (transpose kernel maps) must produce the same
     gradients as plain autodiff through the gather-scatter formulation."""

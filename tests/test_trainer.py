@@ -119,6 +119,45 @@ def test_apply_step_donates_param_buffers(synth_root, tmp_path):
                for leaf in jax.tree_util.tree_leaves(trainer.params))
 
 
+def test_seg_build_trainer_constructs_every_registered_level0_family(
+        synth_root, tmp_path):
+    """main_seg passes compute_dtype= to EVERY model class, so each level-0
+    family must declare the field (Res16UNetBase was missing it and the
+    whole family crashed at CLI construction); plain ResNet* must be
+    rejected loudly — its logits live on level-5 voxels and the reference
+    never registers it for seg (`models/__init__.py` omits
+    `add_models(resnet)`)."""
+    from csn_tpu.tasks.main_seg import build_trainer
+
+    for name in ("Res16UNet14", "Res16UNet34C", "ResUNet14", "HRNetSeg2S"):
+        cfg = make_config(synth_root, str(tmp_path), model=name,
+                          k_neighbors=0, compute_dtype="bfloat16",
+                          log_dir=os.path.join(str(tmp_path), name))
+        t = build_trainer(cfg)
+        assert t.model.compute_dtype == "bfloat16"
+    with pytest.raises(ValueError, match="level 5"):
+        build_trainer(make_config(synth_root, str(tmp_path),
+                                  model="ResNet14", k_neighbors=0))
+
+
+def test_build_trainer_honors_phase_flags(synth_root, tmp_path):
+    """--train_phase/--val_phase must reach the datasets (the reference's
+    lib/config.py flags; e.g. --val_phase test validates on the test
+    split). Explicit phases= still wins."""
+    from csn_tpu.tasks.main_seg import build_trainer
+
+    cfg = make_config(synth_root, str(tmp_path), model="HRNetSeg2S",
+                      k_neighbors=0, val_phase="test")
+    t = build_trainer(cfg)
+    # synthetic fixture: 6 train / 3 val / 3 test shapes, and the test
+    # split is a distinct file — phase must be 'test'
+    from csn_tpu.data.partnet import DatasetPhase
+
+    assert t.val_dataset.phase == DatasetPhase.Test
+    t2 = build_trainer(cfg, phases=("train", "val"))
+    assert t2.val_dataset.phase == DatasetPhase.Val
+
+
 def test_seg_trainer_loss_decreases(synth_root, tmp_path):
     from csn_tpu.tasks.main_seg import build_trainer
 
