@@ -104,6 +104,12 @@ class NativeShape:
         self.handle = lib.csn_shape_create(
             pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             self.n_points, n_levels)
+        if not self.handle:
+            raise ValueError(
+                "csn_shape_create rejected the point set: a coordinate is "
+                "non-finite or |c| >= 2^20 voxel units (the packed 21-bit "
+                "key lanes would alias) — check voxel_size and the dataset "
+                "for outlier/NaN points")
 
     def num_voxels(self, level: int) -> int:
         return int(self.lib.csn_shape_num_voxels(self.handle, level))

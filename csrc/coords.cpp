@@ -51,6 +51,18 @@ struct Shape {
 extern "C" {
 
 void* csn_shape_create(const float* pts, int64_t n_points, int32_t n_levels) {
+  // Fail fast on corrupt input instead of silently corrupting voxelization:
+  // a non-finite coordinate hits UB in the float->int64 floor cast, and
+  // |c| >= 2^20 voxel units overflows a biased 21-bit key lane so two
+  // far-apart points alias to one packed key (wrong p2v/coords/kernel
+  // maps). Returns nullptr; the Python wrapper raises with a hint.
+  {
+    const float LIM = (float)(1ll << 20);
+    for (int64_t i = 0; i < n_points * 3; ++i) {
+      const float v = pts[i];
+      if (!std::isfinite(v) || v >= LIM || v < -LIM) return nullptr;
+    }
+  }
   Shape* s = new Shape();
   s->n_points = n_points;
   s->points.assign(pts, pts + n_points * 3);
@@ -221,12 +233,16 @@ void csn_shape_kernel_map(void* h, int32_t kind, int32_t level, int32_t ksize,
     int32_t* row = out + k * cap_dst;
     if (safe) {
       std::memset(row, 0xFF, cap_dst * sizeof(int32_t));  // -1
-      const int64_t delta = (ox << 42) + (oy << 21) + oz;
+      // unsigned shifts: ox/oy are negative for up-maps and centered
+      // kernels, and left-shifting a negative int64 is UB pre-C++20;
+      // uint64 wrap gives the identical two's-complement delta.
+      const uint64_t delta = ((uint64_t)ox << 42) + ((uint64_t)oy << 21)
+                             + (uint64_t)oz;
       const uint64_t* sk = src.skeys.data();
       const int64_t ns = src.n;
       int64_t ps = 0;
       for (int64_t js = 0; js < dst.n; ++js) {
-        const uint64_t target = dst.skeys[js] + (uint64_t)delta;
+        const uint64_t target = dst.skeys[js] + delta;
         while (ps < ns && sk[ps] < target) ++ps;
         if (ps == ns) break;
         if (sk[ps] == target) {

@@ -21,9 +21,7 @@ BATCH_SIZE=${BATCH_SIZE:-8}
 D_MODEL=${D_MODEL:-256}
 LOG_ROOT=${LOG_ROOT:-outputs/extract}
 
-CATEGORIES=(Bed Bottle Chair Clock Dishwasher Display Door Earphone Faucet \
-            Knife Lamp Microwave Refrigerator StorageFurniture Table \
-            TrashCan Vase)
+source "$(dirname "$0")/partnet_categories.sh"
 
 for CAT in "${CATEGORIES[@]}"; do
   echo "=== extracting ${CAT} -> ${OUT}/{train,test}/${CAT}"

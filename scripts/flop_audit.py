@@ -116,8 +116,13 @@ def executed_gather_macs(batches, conv_calls):
             mname = name[4:]
             if _map_levels_of(mname) is None:  # same skip rule as
                 continue                       # count_pairs()
+            from csn_tpu.core.window_conv import TILE
+
             n_out = vb.kmaps[mname].shape[1]
-            n_tiles = -(-n_out // 256)
+            # meta[4, n_tiles] is the job-count terminator; the tile
+            # size must match the worklist builder's (a hardcoded 256
+            # would silently read a mid-array offset if TILE changes)
+            n_tiles = -(-n_out // TILE)
             njobs_by_map[mname] = njobs_by_map.get(mname, 0) \
                 + int(meta[4, n_tiles])
     for mname, cin, cout, ncalls in conv_calls:

@@ -12,7 +12,8 @@
 #   <midfc_features> root with {train,test}/<Cat>/{fc_1,point_labels}
 #   <partnet_root>   PartNet h5 root ('-' to skip the Mink branch)
 #   [mink_ckpts]     dir with <Cat>/weights.pth (default: pretrained/
-#                    HRNetSimCSN3S_K1 after download; '-' to skip)
+#                    HRNetSimCSN3S_K1_models after download; the archive may
+#                    nest one folder — point inside it if so; '-' to skip)
 #   [knn_graphs]     root with n_heads_8/<Cat>/{train,test}.npy
 #   [out_dir]        report dir (default outputs/parity)
 #
@@ -29,16 +30,17 @@ shift 3
 # optional positionals stop at the first flag, so pass-through flags work
 # with fewer than 6 positionals ('-' is a valid positional skip sentinel)
 is_positional() { [ "$1" = "-" ] || [ "${1#-}" = "$1" ]; }
-MINK_CKPTS=pretrained/HRNetSimCSN3S_K1
+MINK_CKPTS=pretrained/HRNetSimCSN3S_K1_models
 KNN_GRAPHS=
 OUT=outputs/parity
 if [ $# -gt 0 ] && is_positional "$1"; then MINK_CKPTS=$1; shift; fi
 if [ $# -gt 0 ] && is_positional "$1"; then KNN_GRAPHS=$1; shift; fi
 if [ $# -gt 0 ] && is_positional "$1"; then OUT=$1; shift; fi
 
-# §1 step 1: fetch the released archives when the checkpoint dirs are absent
-# (no-op offline: the downloader prints the manual URLs and this script then
-# fails loudly on the missing files).
+# §1 step 1: fetch + extract the released archives when the checkpoint dirs
+# are absent (download_pretrained_models.sh validates and unzips each one;
+# offline it prints the manual URLs and this script then fails loudly on the
+# missing files).
 if [ "$MIDFC_CKPTS" != "-" ] && [ ! -d "$MIDFC_CKPTS" ]; then
   bash scripts/download_pretrained_models.sh "$(dirname "$MIDFC_CKPTS")"
 fi

@@ -6,9 +6,7 @@
 #   ./scripts/testing_hrnet.sh <Category|all|--show_categories> [base_dir]
 set -eo pipefail
 
-CATEGORIES=(Bed Bottle Chair Clock Dishwasher Display Door Earphone Faucet \
-            Knife Lamp Microwave Refrigerator StorageFurniture Table \
-            TrashCan Vase)
+source "$(dirname "$0")/partnet_categories.sh"
 
 SHOW_CATS="--show_categories"
 MODEL=${MODEL:-HRNetSeg3S}
@@ -37,6 +35,12 @@ resolve_log_dir() {
       \( -name "weights.msgpack" -o -name "checkpoint.msgpack" \) \
       -printf '%T@ %h\n' 2>/dev/null | sort -rn | head -1 | cut -d' ' -f2-
 }
+
+if [ "$CAT" = "all" ] && [ -n "${LOG_DIR:-}" ]; then
+  echo "ERROR: LOG_DIR is a single-category override — with 'all' it would" >&2
+  echo "evaluate every category against the same checkpoint dir. Unset it." >&2
+  exit 1
+fi
 
 FOUND=false
 FAILED=()
@@ -69,6 +73,13 @@ if [ "$CAT" = "all" ]; then
   fi
   # fail only when NOTHING evaluated (partial collections still aggregate)
   if [ "${#FAILED[@]}" -eq "${#CATEGORIES[@]}" ]; then
+    exit 1
+  fi
+else
+  # single named category: its failure IS the script's failure (callers and
+  # session drivers key on the exit code)
+  if [ "${#FAILED[@]}" -gt 0 ]; then
+    echo "!!! evaluation failed for: ${FAILED[*]}" >&2
     exit 1
   fi
 fi

@@ -6,11 +6,7 @@ set -eo pipefail
 
 K_NEIGHBORS=${1:-1}
 
-CATEGORIES=(Bed Bottle Chair Clock Dishwasher Display Door Earphone Faucet \
-            Knife Lamp Microwave Refrigerator StorageFurniture Table \
-            TrashCan Vase)
-TRAIN_COUNTS=(133 315 4489 406 111 633 149 147 435 221 1554 133 136 1588 \
-              5707 221 741)
+source "$(dirname "$0")/partnet_categories.sh"
 BATCH_SIZE=${BATCH_SIZE:-8}
 
 for i in "${!CATEGORIES[@]}"; do
