@@ -529,9 +529,11 @@ def run_midfc():
     denominator is FLOP-derived. The reference MHA uses d_k=d_v=256 PER
     HEAD x 8 heads (`csa_models.py:147`): projections 256->2048 (~168 GF
     fwd at B=4 incl. output proj), scores+AV 160 (chunk,head) pairs x
-    512 MF (~82 GF) => ~250 GF per MHA forward; 11 MHA calls/CSA step
-    (query SSA + K+1 pooling SSAs + [self]+K cross) x3 for fwd+bwd =
-    ~8 TF per B=4 step. V100 fp32 peak 15.7 TFLOPs => >= 0.5 s/step at
+    512 MF (~82 GF) => ~250 GF per MHA forward; the REFERENCE runs
+    2K+2 = 10 MHA calls/CSA step at K=4 (query SSA + K neighbor SSAs +
+    a RECOMPUTED self pass + K cross — `csa_models.py:209/:232`) x3 for
+    fwd+bwd = ~8 TF per B=4 step. (Ours runs 9: the self pass reuses the
+    query SSA — eval-identical, measured 191.6 -> 175.8 ms/step.) V100 fp32 peak 15.7 TFLOPs => >= 0.5 s/step at
     PERFECT efficiency, i.e. <= 8 shapes/s; with the reference's
     20-iteration python chunk loop per MHA, ~5 shapes/s is a generous
     estimate. We use 5.0. (Our 228 ms/step = ~70% of the v5e f32
