@@ -63,14 +63,22 @@ def pytest_collection_modifyitems(session, config, items):
         seen_files.add(path)
         with open(path) as f:
             tree = ast.parse(f.read(), filename=path)
-        counts = collections.Counter(
-            node.name for node in ast.walk(tree)
-            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
-            and node.name.startswith("test"))
-        for name, n in counts.items():
-            if n > 1:
-                errors.append(f"{path}: '{name}' defined {n} times "
-                              f"(earlier definitions are shadowed)")
+        # Shadowing only happens WITHIN one scope — same-named tests in
+        # different classes are legal pytest — so count per scope (module
+        # top level, and each class body) instead of ast.walk over all.
+        scopes = [("module", tree.body)] + [
+            (node.name, node.body) for node in ast.walk(tree)
+            if isinstance(node, ast.ClassDef)]
+        for scope, body in scopes:
+            counts = collections.Counter(
+                node.name for node in body
+                if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
+                and node.name.startswith("test"))
+            for name, n in counts.items():
+                if n > 1:
+                    errors.append(
+                        f"{path}: '{name}' defined {n} times in {scope} "
+                        f"(earlier definitions are shadowed)")
     if errors:
         raise pytest.UsageError("duplicate test names:\n  "
                                 + "\n  ".join(errors))

@@ -50,7 +50,6 @@ def test_testing_csn_sh_loops_categories(tmp_path):
     category's newest checkpoint dir, evaluate it, write results_log.txt,
     and aggregate via collect_partnet_results."""
     import subprocess
-    import sys
 
     from csn_tpu.tasks import main_csn
 
@@ -100,7 +99,6 @@ def test_parity_session_synthetic(tmp_path):
     report CSV, assert vs the (injected) expectation tables, exit 0 — and
     exit 1 when an expectation is violated."""
     import subprocess
-    import sys
 
     from csn_tpu.midfc.data import write_synthetic_midfc
     from csn_tpu.midfc.get_csa_pred import main as pred_main

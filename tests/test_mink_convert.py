@@ -94,9 +94,7 @@ def test_convert_mink_released_schema_matches_init_tree():
     from csn_tpu.models import load_model
     from csn_tpu.models.convert import convert_mink_state_dict
 
-    import sys
-    sys.path.insert(0, "tests")
-    from test_models import build_jax_batch
+    from tests.test_models import build_jax_batch
 
     rng = np.random.default_rng(0)
     sd = _mink_csn_sd(rng)

@@ -41,11 +41,11 @@ def test_quantization_unique_and_counts():
         expected = np.unique(ic, axis=0)
         n = int(vb.num_voxels[0][b])
         assert n == expected.shape[0]
-        got = np.sort(vb.coords[0][b, :n], axis=0)
-        np.testing.assert_array_equal(
-            np.sort(vb.coords[0][b, :n].astype(np.int64), axis=0).shape,
-            expected.shape,
-        )
+        # voxels must be stored in lexicographic (x, y, z) order — the
+        # sorted layout is what makes the windowed conv kernels possible
+        rows = vb.coords[0][b, :n].astype(np.int64)
+        order = np.lexsort((rows[:, 2], rows[:, 1], rows[:, 0]))
+        np.testing.assert_array_equal(order, np.arange(n))
         # set equality of voxel coordinates
         got_set = {tuple(r) for r in vb.coords[0][b, :n]}
         exp_set = {tuple(r) for r in expected}

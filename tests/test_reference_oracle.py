@@ -345,7 +345,6 @@ def test_ssa_layer_import_matches_reference(ref, tmp_path):
         merged_ours[k] = ssa_params[k]
 
     flat_ref = jax.tree_util.tree_leaves_with_path(merged_ref)
-    flat_ours = dict(jax.tree_util.tree_leaves_with_path(merged_ours))
     # dict comparison over identical key paths
     flat_ours = {jax.tree_util.keystr(p): v
                  for p, v in jax.tree_util.tree_leaves_with_path(merged_ours)}

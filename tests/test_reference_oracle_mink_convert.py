@@ -155,8 +155,7 @@ def test_convert_real_simcsn_checkpoint(ref_models, tmp_path):
     from csn_tpu.models import load_model
     from csn_tpu.models.convert import convert_mink_state_dict
 
-    sys.path.insert(0, "tests")
-    from test_models import build_jax_batch
+    from tests.test_models import build_jax_batch
 
     cfg = types.SimpleNamespace(bn_momentum=0.02, conv1_kernel_size=3,
                                 d_model=16, n_head=2, k_neighbors=1)
@@ -207,8 +206,7 @@ def test_convert_real_seg_checkpoint(ref_models, tmp_path):
     from csn_tpu.models import load_model
     from csn_tpu.models.convert import convert_mink_state_dict
 
-    sys.path.insert(0, "tests")
-    from test_models import build_jax_batch
+    from tests.test_models import build_jax_batch
 
     cfg = types.SimpleNamespace(bn_momentum=0.02, conv1_kernel_size=3)
     ref_model = ref_models.models.hrnet.HRNetSeg2S(3, 5, cfg, D=3)
@@ -314,4 +312,4 @@ def test_mha_forward_matches_reference(ref_models):
                          jnp.asarray(k_t.numpy()), jnp.asarray(v_t.numpy()),
                          train=False)
         np.testing.assert_allclose(np.asarray(out), out_ref.numpy(),
-                                   atol=2e-5, rtol=1e-5), impl
+                                   atol=2e-5, rtol=1e-5, err_msg=impl)
